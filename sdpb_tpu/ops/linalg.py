@@ -1,0 +1,195 @@
+"""Dense linear algebra on MP (multi-limb) arrays.
+
+These are the TPU-native replacements for the Elemental distributed BLAS
+the reference leans on (El::Gemm/Trsm/Syrk/Cholesky/HermitianEig over
+El::BigFloat DistMatrices — e.g.
+/root/reference/src/sdp_solve/SDP_Solver/run/step/initialize_schur_complement_solver/initialize_Q_group.cxx:31-67).
+
+Design notes:
+  * All routines operate on batched blocks: shapes [..., n, m] with leading
+    batch axes, so a whole bucket of same-shape SDP blocks is processed by
+    one fused XLA computation (the analog of SDPB's per-block MPI loop).
+  * Sequential factorizations use lax.fori_loop with masked whole-matrix
+    updates — the trace stays O(1) in the matrix size, and every step is a
+    fully vectorized rank-1 / row update.
+  * No data-dependent control flow; padded batch entries must be arranged
+    by the caller so factorizations stay well-defined (e.g. identity blocks).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import mpfloat as mp
+from .mpfloat import MP
+
+
+# ---------------------------------------------------------------------------
+# Products
+
+
+def matmul(a: MP, b: MP, chunk: int = 128) -> MP:
+    """a @ b with full MP precision: a [..., M, Kd], b [..., Kd, N].
+
+    Elementwise MP products tree-reduced over the contraction axis, chunked
+    to bound the [..., M, chunk, N] intermediate.
+    """
+    Kd = a.shape[-1]
+    assert b.shape[-2] == Kd, (a.shape, b.shape)
+    if Kd <= chunk:
+        terms = mp.mul(MP(a.limbs[..., :, :, None]), MP(b.limbs[..., None, :, :]))
+        return mp.sum_(terms, axis=terms.ndim - 2)
+
+    nchunks = -(-Kd // chunk)
+    pad = nchunks * chunk - Kd
+    if pad:
+        a = MP(jnp.pad(a.limbs, [(0, 0)] * (a.limbs.ndim - 1) + [(0, pad)]))
+        b = MP(jnp.pad(b.limbs, [(0, 0)] * (b.limbs.ndim - 2) + [(0, pad), (0, 0)]))
+
+    def body(i, acc):
+        sl_a = jax.lax.dynamic_slice_in_dim(a.limbs, i * chunk, chunk, axis=a.limbs.ndim - 1)
+        sl_b = jax.lax.dynamic_slice_in_dim(b.limbs, i * chunk, chunk, axis=b.limbs.ndim - 2)
+        terms = mp.mul(MP(sl_a[..., :, :, None]), MP(sl_b[..., None, :, :]))
+        part = mp.sum_(terms, axis=terms.ndim - 2)
+        return mp.add(acc, part)
+
+    out_shape = a.shape[:-1] + (b.shape[-1],)
+    acc0 = mp.zeros(out_shape, a.K, a.dtype)
+    return jax.lax.fori_loop(0, nchunks, body, acc0)
+
+
+def matvec(a: MP, x: MP, chunk: int = 128) -> MP:
+    return matmul(a, MP(x.limbs[..., :, None]), chunk=chunk)[..., 0]
+
+
+def outer(u: MP, v: MP) -> MP:
+    return mp.mul(MP(u.limbs[..., :, None]), MP(v.limbs[..., None, :]))
+
+
+def symmetrize(a: MP) -> MP:
+    """(A + A^T)/2, mirroring Block_Diagonal_Matrix::symmetrize
+    (/root/reference/src/sdp_solve/Block_Diagonal_Matrix.hxx)."""
+    return mp.mul_pow2(mp.add(a, a.mT), np.float64(0.5))
+
+
+def frobenius(a: MP, b: MP) -> MP:
+    """Tr(A B) for symmetric A, B = elementwise dot over the last two axes."""
+    prod = mp.mul(a, b)
+    flat = prod.reshape(tuple(prod.shape[:-2]) + (prod.shape[-2] * prod.shape[-1],))
+    return mp.sum_(flat, axis=flat.ndim - 1)
+
+
+def trace(a: MP) -> MP:
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    diag = mp.sum_(MP(a.limbs * eye), axis=a.ndim - 1)
+    return mp.sum_(diag, axis=diag.ndim - 1)
+
+
+# ---------------------------------------------------------------------------
+# Cholesky
+
+
+def cholesky(A: MP) -> MP:
+    """Lower Cholesky of SPD blocks A [..., n, n] (batched).
+
+    Right-looking, one lax.fori_loop step per column with masked rank-1
+    updates.  Mirrors cholesky_decomposition in the reference
+    (/root/reference/src/sdp_solve/SDP_Solver/run/cholesky_decomposition.cxx).
+    """
+    n = A.shape[-1]
+    row_idx = jnp.arange(n)
+
+    def body(j, carry):
+        M, L = carry
+        colM = MP(jnp.take(M.limbs, j, axis=M.limbs.ndim - 1))  # [K, ..., n]
+        d2 = MP(jnp.take(colM.limbs, j, axis=colM.limbs.ndim - 1))  # [K, ...]
+        d = mp.sqrt(d2)
+        dinv = mp.reciprocal(d)
+        col = mp.mul(colM, MP(dinv.limbs[..., None]))
+        below = row_idx > j
+        col_below = MP(jnp.where(below, col.limbs, 0))
+        # L column j: d on the diagonal, scaled entries below
+        colL = mp.where(row_idx == j, MP(jnp.broadcast_to(d.limbs[..., None], col.limbs.shape)), col_below)
+        L = MP(jnp.where(row_idx == j, colL.limbs[..., :, None], L.limbs))
+        # trailing update M -= col_below col_below^T
+        M = mp.sub(M, outer(col_below, col_below))
+        return M, L
+
+    L0 = mp.zeros(A.shape, A.K, A.dtype)
+    _, L = jax.lax.fori_loop(0, n, body, (A, L0))
+    return L
+
+
+# ---------------------------------------------------------------------------
+# Triangular solves
+
+
+def solve_lower(L: MP, B: MP) -> MP:
+    """X = L^{-1} B by forward substitution; L [..., n, n] lower, B [..., n, m].
+
+    The reference's El::Trsm(LEFT, LOWER, NORMAL) analog.
+    """
+    n = L.shape[-1]
+    row_idx = jnp.arange(n)
+
+    def body(i, X):
+        Lrow = MP(jnp.take(L.limbs, i, axis=L.limbs.ndim - 2))  # [K, ..., n]
+        diag = MP(jnp.take(Lrow.limbs, i, axis=Lrow.limbs.ndim - 1))  # [K, ...]
+        # acc = sum_{k<i} L[i,k] X[k,:]
+        terms = mp.mul(MP(Lrow.limbs[..., :, None]), X)  # [..., n, m]
+        terms = MP(jnp.where((row_idx < i)[:, None], terms.limbs, 0))
+        acc = mp.sum_(terms, axis=terms.ndim - 2)  # [..., m]
+        Brow = MP(jnp.take(B.limbs, i, axis=B.limbs.ndim - 2))
+        xi = mp.mul(mp.sub(Brow, acc), MP(mp.reciprocal(diag).limbs[..., None]))
+        X = MP(jnp.where((row_idx == i)[:, None], xi.limbs[..., None, :], X.limbs))
+        return X
+
+    X0 = mp.zeros(B.shape, B.K, B.dtype)
+    return jax.lax.fori_loop(0, n, body, X0)
+
+
+def solve_lower_T(L: MP, B: MP) -> MP:
+    """X = L^{-T} B by backward substitution (El::Trsm LEFT, LOWER, TRANSPOSE)."""
+    n = L.shape[-1]
+    row_idx = jnp.arange(n)
+
+    def body(k, X):
+        i = n - 1 - k
+        Lcol = MP(jnp.take(L.limbs, i, axis=L.limbs.ndim - 1))  # [K, ..., n] = L[:, i]
+        diag = MP(jnp.take(Lcol.limbs, i, axis=Lcol.limbs.ndim - 1))
+        terms = mp.mul(MP(Lcol.limbs[..., :, None]), X)  # L[k, i] X[k, :]
+        terms = MP(jnp.where((row_idx > i)[:, None], terms.limbs, 0))
+        acc = mp.sum_(terms, axis=terms.ndim - 2)
+        Brow = MP(jnp.take(B.limbs, i, axis=B.limbs.ndim - 2))
+        xi = mp.mul(mp.sub(Brow, acc), MP(mp.reciprocal(diag).limbs[..., None]))
+        X = MP(jnp.where((row_idx == i)[:, None], xi.limbs[..., None, :], X.limbs))
+        return X
+
+    X0 = mp.zeros(B.shape, B.K, B.dtype)
+    return jax.lax.fori_loop(0, n, body, X0)
+
+
+def cholesky_solve(L: MP, B: MP) -> MP:
+    """A^{-1} B given A = L L^T (El::cholesky::SolveAfter analog)."""
+    return solve_lower_T(L, solve_lower(L, B))
+
+
+# ---------------------------------------------------------------------------
+# Eigen bounds (step length)
+
+
+def min_eigenvalue_estimate(A: MP):
+    """Estimate of lambda_min of symmetric blocks A [..., n, n] in the BASE
+    dtype.  The IPM step length only needs a few correct digits (it is
+    multiplied by stepLengthReduction=0.7 anyway;
+    /root/reference/src/sdp_solve/SDP_Solver/run/step/step_length/min_eigenvalue.cxx
+    uses a full HermitianEig, overkill for the bound).  Values are rescaled
+    by the max magnitude for range safety, then eigvalsh in base precision.
+    """
+    a = mp.to_float_array(A)
+    scale = jnp.max(jnp.abs(a), axis=(-2, -1), keepdims=True)
+    safe = jnp.where(scale == 0, 1.0, scale)
+    w = jnp.linalg.eigvalsh((a / safe).astype(jnp.float32) if a.dtype == jnp.float32 else a / safe)
+    return w[..., 0] * safe[..., 0, 0]

@@ -1,0 +1,73 @@
+"""Host-side exact conversions between decimal strings and MP limb arrays.
+
+The reference parses all input numbers into GMP BigFloats at --precision
+bits (e.g. /root/reference/src/sdp_read — SAX parsers feeding El::BigFloat).
+Here the host parses decimal strings with mpmath at generous precision and
+peels off base-dtype limbs exactly; the device never sees strings.
+"""
+from __future__ import annotations
+
+import numpy as np
+import mpmath
+
+
+def _workdps(nbits: int) -> int:
+    return int(nbits * 0.30103) + 12
+
+
+def str_to_limbs(s: str, K: int, np_dtype) -> np.ndarray:
+    """Parse one decimal string into K limbs (exact peel-off)."""
+    nbits = (24 if np_dtype == np.float32 else 53) * K + 16
+    with mpmath.workprec(nbits + 32):
+        x = mpmath.mpf(s)
+        limbs = np.zeros(K, dtype=np_dtype)
+        for k in range(K):
+            hi = np_dtype(float(x))
+            limbs[k] = hi
+            x = x - mpmath.mpf(float(hi))
+        return limbs
+
+
+def strs_to_limbs(strings, K: int, np_dtype) -> np.ndarray:
+    """Parse a flat list of decimal strings -> limbs array [K, n]."""
+    n = len(strings)
+    out = np.zeros((K, n), dtype=np_dtype)
+    nbits = (24 if np_dtype == np.float32 else 53) * K + 16
+    with mpmath.workprec(nbits + 32):
+        for i, s in enumerate(strings):
+            x = mpmath.mpf(s)
+            for k in range(K):
+                hi = np_dtype(float(x))
+                out[k, i] = hi
+                x = x - mpmath.mpf(float(hi))
+    return out
+
+
+def limbs_to_mpf(limbs) -> mpmath.mpf:
+    """Exact mpmath value of a single K-limb number (host numpy input)."""
+    prec = 60 * len(limbs) + 64
+    with mpmath.workprec(prec):
+        acc = mpmath.mpf(0)
+        for l in np.asarray(limbs, dtype=np.float64):
+            acc = acc + mpmath.mpf(float(l))
+        return acc
+
+
+def limbs_to_str(limbs, ndigits=None) -> str:
+    """Decimal string of a K-limb number, full precision by default.
+
+    Mirrors set_stream_precision in the reference (out.txt is written at
+    full working precision, /root/reference/src/sdp_solve/set_stream_precision.hxx).
+    """
+    limbs = np.asarray(limbs, dtype=np.float64)
+    K = len(limbs)
+    nbits = 53 * K + 16
+    if ndigits is None:
+        ndigits = int(nbits * 0.30103) + 1
+    with mpmath.workprec(nbits):
+        acc = mpmath.mpf(0)
+        for l in limbs:
+            acc = acc + mpmath.mpf(float(l))
+        return mpmath.nstr(
+            acc, ndigits, strip_zeros=False, min_fixed=1, max_fixed=0
+        )

@@ -1,0 +1,23 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh so multi-chip sharding logic
+# is exercised without TPU hardware (the driver separately dry-runs the
+# multichip path on real/virtual devices).
+#
+# Two platform quirks handled here (see sdpb_tpu/utils/platform.py):
+#   * the container's sitecustomize imports jax and pins JAX_PLATFORMS=axon
+#     (TPU tunnel); backend init is lazy, so jax.config still wins;
+#   * XLA:CPU's fusion emitters apply FP contraction which breaks the
+#     error-free transformations the MP arithmetic is built on — the flag
+#     below disables them (TPU needs no flag; verified exact).
+from sdpb_tpu.utils import platform as _platform
+
+_platform.configure_cpu()
+xf = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xf:
+    os.environ["XLA_FLAGS"] = (xf + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
