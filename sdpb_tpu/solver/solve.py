@@ -1,0 +1,194 @@
+"""The solver run loop: host-side driver around the jitted iteration.
+
+Mirrors SDP_Solver::run (/root/reference/src/sdp_solve/SDP_Solver/run/run.cxx:61-184)
+and the ordered termination logic of compute_feasible_and_termination.cxx:20-70.
+All device work happens inside one compiled iteration; the host only reads
+back small per-iteration stats, decides termination/checkpointing, and logs.
+"""
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import mpmath
+import numpy as np
+
+from ..models.sdp import DeviceSDP
+from ..utils.strings import limbs_to_mpf, str_to_limbs, limbs_to_str
+from ..utils.timers import Timers
+from .params import SolverParameters
+from .state import SolverState, initial_state
+from .step import StepConfig, make_iteration
+
+
+class TerminateReason(enum.Enum):
+    PrimalDualOptimal = "found primal-dual optimal solution"
+    PrimalFeasible = "found primal feasible solution"
+    DualFeasible = "found dual feasible solution"
+    PrimalFeasibleJumpDetected = "primal feasible jump detected"
+    DualFeasibleJumpDetected = "dual feasible jump detected"
+    MaxComplementarityExceeded = "maxComplementarity exceeded"
+    MaxIterationsExceeded = "maxIterations exceeded"
+    MaxRuntimeExceeded = "maxRuntime exceeded"
+    PrimalStepTooSmall = "primal step too small"
+    DualStepTooSmall = "dual step too small"
+
+    def __str__(self):
+        return self.value
+
+
+@dataclass
+class SolveResult:
+    terminate_reason: TerminateReason
+    state: SolverState
+    primal_objective: mpmath.mpf
+    dual_objective: mpmath.mpf
+    duality_gap: mpmath.mpf
+    primal_error_P: float
+    primal_error_p: float
+    dual_error: float
+    iterations: int
+    runtime: float
+
+    @property
+    def primal_error(self) -> float:
+        return max(self.primal_error_P, self.primal_error_p)
+
+
+def _np_dtype(dtype):
+    import jax.numpy as jnp
+
+    return np.float32 if dtype == jnp.float32 else np.float64
+
+
+def run_solver(
+    sdp: DeviceSDP,
+    params: SolverParameters,
+    verbosity: int = 1,
+    axis: Optional[str] = None,
+    initial: Optional[SolverState] = None,
+    checkpoint_fn: Optional[Callable] = None,
+    timers: Optional[Timers] = None,
+    print_fn: Callable = print,
+) -> SolveResult:
+    K = sdp.b.K
+    dtype = sdp.b.dtype
+    npdt = _np_dtype(dtype)
+    timers = timers if timers is not None else Timers()
+
+    omega_p = str_to_limbs(params.initial_matrix_scale_primal, K, npdt)
+    omega_d = str_to_limbs(params.initial_matrix_scale_dual, K, npdt)
+    state = initial if initial is not None else initial_state(sdp, omega_p, omega_d)
+
+    cfg = StepConfig(
+        total_psd_rows=sdp.total_psd_rows,
+        axis=axis,
+        gamma=float(mpmath.mpf(params.step_length_reduction)),
+        feasible_beta_limbs=str_to_limbs(params.feasible_centering_parameter, K, npdt),
+        infeasible_beta_limbs=str_to_limbs(params.infeasible_centering_parameter, K, npdt),
+        primal_error_threshold=float(mpmath.mpf(params.primal_error_threshold)),
+        dual_error_threshold=float(mpmath.mpf(params.dual_error_threshold)),
+        max_complementarity=float(mpmath.mpf(params.max_complementarity)),
+    )
+    with timers.scope("run.initialize"):
+        iteration = jax.jit(make_iteration(sdp, cfg))
+
+    gap_threshold = mpmath.mpf(params.duality_gap_threshold)
+    primal_thr = mpmath.mpf(params.primal_error_threshold)
+    dual_thr = mpmath.mpf(params.dual_error_threshold)
+    min_p_step = mpmath.mpf(params.min_primal_step)
+    min_d_step = mpmath.mpf(params.min_dual_step)
+
+    start = time.time()
+    last_checkpoint = start
+    prev_p_step, prev_d_step = 0.0, 0.0
+    reason = TerminateReason.MaxIterationsExceeded
+    stats_host = None
+
+    if verbosity >= 1:
+        print_fn("\n          time    mu     P-obj       D-obj      gap     "
+                 "    P-err       p-err       D-err      P-step   D-step  beta")
+
+    it = 1
+    while True:
+        if checkpoint_fn is not None and (time.time() - last_checkpoint) >= params.checkpoint_interval:
+            checkpoint_fn(state, it)
+            last_checkpoint = time.time()
+
+        with timers.scope("run.iteration"):
+            stats, new_state = iteration(state)
+            stats_host = jax.tree.map(np.asarray, stats)
+
+        p_obj = limbs_to_mpf(stats_host.primal_objective)
+        d_obj = limbs_to_mpf(stats_host.dual_objective)
+        gap = limbs_to_mpf(stats_host.duality_gap)
+        perr_P = float(stats_host.primal_error_P)
+        perr_p = float(stats_host.primal_error_p)
+        derr = float(stats_host.dual_error)
+        primal_error = max(perr_P, perr_p)
+
+        # ordered termination checks (compute_feasible_and_termination.cxx:20-65)
+        is_dual_feasible = derr < dual_thr
+        is_primal_feasible = primal_error < primal_thr
+        is_optimal = gap < gap_threshold
+        terminate = True
+        if is_primal_feasible and is_dual_feasible and is_optimal:
+            reason = TerminateReason.PrimalDualOptimal
+        elif is_dual_feasible and params.find_dual_feasible:
+            reason = TerminateReason.DualFeasible
+        elif is_primal_feasible and params.find_primal_feasible:
+            reason = TerminateReason.PrimalFeasible
+        elif prev_d_step == 1.0 and params.detect_dual_feasible_jump:
+            reason = TerminateReason.DualFeasibleJumpDetected
+        elif prev_p_step == 1.0 and params.detect_primal_feasible_jump:
+            reason = TerminateReason.PrimalFeasibleJumpDetected
+        elif it > params.max_iterations:
+            reason = TerminateReason.MaxIterationsExceeded
+        elif (time.time() - start) >= params.max_runtime:
+            reason = TerminateReason.MaxRuntimeExceeded
+        elif it > 1 and prev_p_step < min_p_step:
+            reason = TerminateReason.PrimalStepTooSmall
+        elif it > 1 and prev_d_step < min_d_step:
+            reason = TerminateReason.DualStepTooSmall
+        else:
+            terminate = False
+
+        if terminate:
+            break
+
+        if bool(stats_host.max_complementarity_exceeded):
+            reason = TerminateReason.MaxComplementarityExceeded
+            break
+
+        p_step = float(stats_host.primal_step)
+        d_step = float(stats_host.dual_step)
+        if verbosity >= 1:
+            mu = limbs_to_mpf(stats_host.mu)
+            print_fn(
+                f"{it:<4d} {int(time.time()-start):>8d} "
+                f"{mpmath.nstr(mu, 2, min_fixed=1, max_fixed=0):<8s} "
+                f"{float(p_obj):+.3e} {float(d_obj):+.3e} {float(gap):.3e} "
+                f"{perr_P:+.3e} {perr_p:+.3e} {derr:+.3e} "
+                f"{min(p_step, 1.0):.3g}    {min(d_step, 1.0):.3g}    "
+                f"{float(stats_host.beta_corrector):.3g}"
+            )
+
+        state = new_state
+        prev_p_step, prev_d_step = p_step, d_step
+        it += 1
+
+    return SolveResult(
+        terminate_reason=reason,
+        state=state,
+        primal_objective=p_obj,
+        dual_objective=d_obj,
+        duality_gap=gap,
+        primal_error_P=perr_P,
+        primal_error_p=perr_p,
+        dual_error=derr,
+        iterations=it,
+        runtime=time.time() - start,
+    )
