@@ -21,3 +21,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if config.getoption("-m", default=""):
+        return
+    skip_slow = _pytest.mark.skip(reason="slow test; run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
