@@ -329,8 +329,11 @@ def mul(a: MP, b: MP) -> MP:
 
 
 def mul_pow2(a: MP, p) -> MP:
-    """Exact scaling by a power of two (per-element or scalar)."""
-    return MP(a.limbs * p)
+    """Exact scaling by a power of two (per-element or scalar).
+
+    The factor is cast to the limb dtype first: a strongly-typed float64
+    scalar would otherwise upcast float32 limbs under jax_enable_x64."""
+    return MP(a.limbs * jnp.asarray(p, dtype=a.dtype))
 
 
 # ---------------------------------------------------------------------------

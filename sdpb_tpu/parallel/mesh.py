@@ -1,0 +1,109 @@
+"""Multi-device execution: block-batch sharding over a jax.sharding.Mesh.
+
+This is the TPU-native replacement for the reference's MPI plane
+(/root/reference/src/sdp_solve/Block_Info/allocate_blocks/allocate_blocks.cxx
+distributes blocks over MPI rank groups; synchronize_Q.cxx:23-186 hand-rolls
+a ring reduce-scatter of the global N x N matrix Q).  Here the J blocks
+live on the batch axis of each shape bucket; that axis is sharded over the
+`blocks` mesh axis with shard_map, and the cross-device plane collapses to
+XLA collectives emitted inside the jitted iteration:
+
+  * Q contributions       -> psum  (the synchronize_Q analog, over ICI)
+  * B^T x / dy assembly   -> psum
+  * error norms           -> pmax
+  * step-length lambda    -> pmin
+  * scalars (mu, objectives, Frobenius products) -> psum
+
+Every device executes the identical program on its shard of every bucket —
+pure SPMD, no rank groups, no heterogeneous communicators.  Load balance is
+the planner's job (sdpb_tpu.parallel.planner): it permutes blocks so each
+device's shard has comparable total cost before the batch axis is split.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.sdp import Bucket, DeviceSDP
+from ..solver.state import BucketState, SolverState
+from ..solver.step import StepConfig, make_iteration
+
+BLOCK_AXIS = "blocks"
+
+
+def make_mesh(devices=None, axis: str = BLOCK_AXIS) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def sdp_pspecs(sdp: DeviceSDP, axis: str = BLOCK_AXIS) -> DeviceSDP:
+    """PartitionSpec tree-prefix for a DeviceSDP: bucket batch axes sharded
+    (limbs layout [K, B, ...] -> batch is axis 1), objectives replicated."""
+    buckets = [
+        Bucket(
+            bases_even=P(None, axis), bases_odd=P(None, axis),
+            emb_even=P(None, axis), emb_odd=P(None, axis),
+            Bmat=P(None, axis), c=P(None, axis), mask=P(axis),
+            block_indices=bk.block_indices, shape=bk.shape,
+        )
+        for bk in sdp.buckets
+    ]
+    return DeviceSDP(objective_const=P(), b=P(), buckets=buckets)
+
+
+def state_pspecs(state: SolverState, axis: str = BLOCK_AXIS) -> SolverState:
+    """PartitionSpec tree-prefix for SolverState: y replicated, bucket
+    batches sharded."""
+    buckets = [
+        BucketState(x=P(None, axis), X_even=P(None, axis), X_odd=P(None, axis),
+                    Y_even=P(None, axis), Y_odd=P(None, axis))
+        for _ in state.buckets
+    ]
+    return SolverState(y=P(), buckets=buckets)
+
+
+def shard_sdp(sdp: DeviceSDP, mesh: Mesh, axis: str = BLOCK_AXIS) -> DeviceSDP:
+    """Lay out the problem data across the mesh per sdp_pspecs."""
+    return _device_put_tree(sdp, sdp_pspecs(sdp, axis), mesh)
+
+
+def shard_state(state: SolverState, mesh: Mesh, axis: str = BLOCK_AXIS) -> SolverState:
+    return _device_put_tree(state, state_pspecs(state, axis), mesh)
+
+
+def _device_put_tree(tree, spec_tree, mesh):
+    """device_put with a PartitionSpec tree-prefix (each P covers the MP
+    subtree beneath it)."""
+    specs, treedef = jax.tree.flatten(spec_tree, is_leaf=lambda x: isinstance(x, P))
+    subtrees = treedef.flatten_up_to(tree)
+    out = []
+    for sub, s in zip(subtrees, specs):
+        sharding = NamedSharding(mesh, s)
+        out.append(jax.tree.map(lambda x: jax.device_put(x, sharding), sub))
+    return jax.tree.unflatten(treedef, out)
+
+
+def make_sharded_iteration(sdp: DeviceSDP, state: SolverState, cfg: StepConfig,
+                           mesh: Mesh, axis: Optional[str] = None):
+    """shard_map the IPM iteration over the mesh: (sdp, state) ->
+    (replicated stats, sharded new state).
+
+    Requires cfg.axis == the mesh axis name and every bucket batch to be a
+    multiple of the mesh size (build_device_sdp(pad_to=mesh.size)).
+    """
+    axis = axis or mesh.axis_names[0]
+    assert cfg.axis == axis, (cfg.axis, axis)
+    for bk in sdp.buckets:
+        assert bk.batch % mesh.size == 0, (
+            f"bucket batch {bk.batch} not divisible by mesh size {mesh.size}; "
+            f"build the DeviceSDP with pad_to={mesh.size}")
+
+    in_specs = (sdp_pspecs(sdp, axis), state_pspecs(state, axis))
+    out_specs = (P(), state_pspecs(state, axis))
+    fn = jax.shard_map(make_iteration(cfg), mesh=mesh,
+                       in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+    return jax.jit(fn)

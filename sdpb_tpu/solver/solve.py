@@ -73,6 +73,7 @@ def run_solver(
     checkpoint_fn: Optional[Callable] = None,
     timers: Optional[Timers] = None,
     print_fn: Callable = print,
+    mesh=None,
 ) -> SolveResult:
     K = sdp.b.K
     dtype = sdp.b.dtype
@@ -83,9 +84,11 @@ def run_solver(
     omega_d = str_to_limbs(params.initial_matrix_scale_dual, K, npdt)
     state = initial if initial is not None else initial_state(sdp, omega_p, omega_d)
 
+    if mesh is not None and axis is None:
+        axis = mesh.axis_names[0]
     cfg = StepConfig(
         total_psd_rows=sdp.total_psd_rows,
-        axis=axis,
+        axis=axis if mesh is not None else None,
         gamma=float(mpmath.mpf(params.step_length_reduction)),
         feasible_beta_limbs=str_to_limbs(params.feasible_centering_parameter, K, npdt),
         infeasible_beta_limbs=str_to_limbs(params.infeasible_centering_parameter, K, npdt),
@@ -94,7 +97,12 @@ def run_solver(
         max_complementarity=float(mpmath.mpf(params.max_complementarity)),
     )
     with timers.scope("run.initialize"):
-        iteration = jax.jit(make_iteration(sdp, cfg))
+        if mesh is not None:
+            from ..parallel.mesh import make_sharded_iteration
+
+            iteration = make_sharded_iteration(sdp, state, cfg, mesh, axis)
+        else:
+            iteration = jax.jit(make_iteration(cfg))
 
     gap_threshold = mpmath.mpf(params.duality_gap_threshold)
     primal_thr = mpmath.mpf(params.primal_error_threshold)
@@ -119,7 +127,7 @@ def run_solver(
             last_checkpoint = time.time()
 
         with timers.scope("run.iteration"):
-            stats, new_state = iteration(state)
+            stats, new_state = iteration(sdp, state)
             stats_host = jax.tree.map(np.asarray, stats)
 
         p_obj = limbs_to_mpf(stats_host.primal_objective)

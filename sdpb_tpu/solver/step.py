@@ -259,22 +259,26 @@ class StepConfig:
     max_complementarity: float
 
 
-def make_iteration(sdp: DeviceSDP, cfg: StepConfig):
-    """Build the jittable iteration: state -> (stats, new_state).
+def make_iteration(cfg: StepConfig):
+    """Build the jittable iteration: (sdp, state) -> (stats, new_state).
+
+    The SDP is a traced argument (not a closure constant) so the same
+    function can be wrapped in jax.shard_map with the block-batch axes of
+    both the problem data and the state sharded over a device mesh
+    (sdpb_tpu.parallel.mesh).
 
     The returned stats describe the INPUT state (objectives/residues are
     computed before stepping, as in run.cxx:134-160), so on termination the
     caller keeps the input state as the solution.
     """
-    K = sdp.b.K
-    dtype = sdp.b.dtype
     axis = cfg.axis
 
-    beta_feas = MP(jnp.asarray(cfg.feasible_beta_limbs, dtype=dtype))
-    beta_infeas = MP(jnp.asarray(cfg.infeasible_beta_limbs, dtype=dtype))
-    one = _scalar_mp(1.0, K, dtype)
-
-    def iteration(state: SolverState):
+    def iteration(sdp: DeviceSDP, state: SolverState):
+        K = sdp.b.K
+        dtype = sdp.b.dtype
+        beta_feas = MP(jnp.asarray(cfg.feasible_beta_limbs, dtype=dtype))
+        beta_infeas = MP(jnp.asarray(cfg.infeasible_beta_limbs, dtype=dtype))
+        one = _scalar_mp(1.0, K, dtype)
         # ---- objectives (compute_objectives.cxx:10-31)
         p_obj = sdp.objective_const
         for bk, bs in zip(sdp.buckets, state.buckets):
@@ -379,7 +383,9 @@ def make_iteration(sdp: DeviceSDP, cfg: StepConfig):
                 trXY = t if trXY is None else mp.add(trXY, t)
         trXY = _psum_mp(trXY, axis)
         mu = mp.div(trXY, _scalar_mp(float(cfg.total_psd_rows), K, dtype))
-        max_comp_exceeded = mp.to_float_array(mu) > cfg.max_complementarity
+        # clamp to the limb dtype's range (1e100 overflows float32 to inf)
+        max_comp = min(cfg.max_complementarity, float(np.finfo(dtype).max))
+        max_comp_exceeded = mp.to_float_array(mu) > max_comp
 
         # ---- search direction (compute_search_direction.cxx:56-93)
         def search_direction(beta: MP, dXdY: Optional[tuple]):
