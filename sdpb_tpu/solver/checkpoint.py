@@ -1,0 +1,188 @@
+"""Checkpoint save/load for solver state.
+
+The reference writes rank-local binary dumps that require identical
+precision/ranks/distribution to restart (save_checkpoint.cxx:11-35,
+docs/Usage.md:148-157) — a known wart.  Here checkpoints are
+device-layout-INDEPENDENT: per-block host limb arrays keyed by global block
+index in one .npz, so a run can resume on a different mesh shape or bucket
+padding.  Kept from the reference: generation + backup rotation and atomic
+metadata rename (save_checkpoint.cxx:55-65,103-119), and the ability to
+start from a reference text solution (load_text_checkpoint.cxx:6-44) via
+--writeSolution=x,y,X,Y outputs.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..models.sdp import DeviceSDP
+from ..io.solution import host_blocks
+from .state import SolverState
+
+
+METADATA = "checkpoint.json"
+
+
+def save_checkpoint(checkpoint_dir, sdp: DeviceSDP, state: SolverState,
+                    options: Optional[dict] = None, verbosity: int = 1,
+                    print_fn=print) -> int:
+    """Write checkpoint_<gen>.npz + atomically-renamed metadata; rotates the
+    previous generation into 'backup_generation'.  Returns the generation."""
+    ck = Path(checkpoint_dir)
+    ck.mkdir(parents=True, exist_ok=True)
+
+    meta_path = ck / METADATA
+    generation = 0
+    backup = None
+    if meta_path.exists():
+        old = json.loads(meta_path.read_text())
+        generation = int(old.get("current", -1)) + 1
+        backup = old.get("current")
+
+    if verbosity >= 1:
+        print_fn(f"Saving checkpoint to    : {ck}")
+
+    arrays = {"y": np.asarray(state.y.limbs)}
+    for idx, data in host_blocks(sdp, state).items():
+        for name, arr in data.items():
+            arrays[f"{name}_{idx}"] = arr
+    np.savez(ck / f"checkpoint_{generation}.npz", **arrays)
+
+    meta = {"current": generation, "version": 1,
+            "options": options or {}}
+    if backup is not None:
+        meta["backup"] = backup
+    tmp = ck / (METADATA + ".tmp")
+    tmp.write_text(json.dumps(meta, indent=1))
+    os.replace(tmp, meta_path)
+
+    # prune generations older than the backup
+    keep = {generation, backup}
+    for f in ck.glob("checkpoint_*.npz"):
+        try:
+            gen = int(f.stem.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if gen not in keep:
+            f.unlink()
+    return generation
+
+
+def _state_from_block_arrays(sdp: DeviceSDP, y_limbs, block_arrays) -> SolverState:
+    """Assemble a SolverState from {block_index: {x, X_even, ...}} host
+    arrays, re-bucketing to the DeviceSDP's current layout (padding entries
+    get X = Y = I as in initial_state)."""
+    import jax.numpy as jnp
+
+    from ..ops.mpfloat import MP
+    from .state import BucketState
+
+    K = sdp.b.K
+    dtype = sdp.b.dtype
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+
+    buckets = []
+    for bk in sdp.buckets:
+        sh = bk.shape
+        B = bk.batch
+
+        def gather(name, shape, eye: bool):
+            out = np.zeros((K, B) + shape, dtype=npdt)
+            for i, idx in enumerate(bk.block_indices):
+                if idx >= 0:
+                    arr = block_arrays[idx][name]
+                    if arr.shape != (K,) + shape:
+                        raise RuntimeError(
+                            f"Incompatible checkpoint block {idx} {name}: "
+                            f"expected {(K,) + shape}, found {arr.shape}")
+                    out[:, i] = arr
+                elif eye and shape[-1] > 0:
+                    out[0, i] = np.eye(shape[-1], dtype=npdt)
+            return MP(jnp.asarray(out, dtype=dtype))
+
+        buckets.append(BucketState(
+            x=gather("x", (sh.schur_size,), eye=False),
+            X_even=gather("X_even", (sh.psd_even, sh.psd_even), eye=True),
+            X_odd=gather("X_odd", (sh.psd_odd, sh.psd_odd), eye=True),
+            Y_even=gather("Y_even", (sh.psd_even, sh.psd_even), eye=True),
+            Y_odd=gather("Y_odd", (sh.psd_odd, sh.psd_odd), eye=True),
+        ))
+
+    y = MP(jnp.asarray(np.asarray(y_limbs, dtype=npdt), dtype=dtype))
+    return SolverState(y=y, buckets=buckets)
+
+
+def load_checkpoint(checkpoint_dir, sdp: DeviceSDP, verbosity: int = 1,
+                    print_fn=print) -> Optional[SolverState]:
+    """Load the newest viable npz checkpoint; fall back to the backup
+    generation; else try a reference-format text checkpoint; else None."""
+    ck = Path(checkpoint_dir)
+    meta_path = ck / METADATA
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        for gen in (meta.get("current"), meta.get("backup")):
+            if gen is None:
+                continue
+            path = ck / f"checkpoint_{gen}.npz"
+            if not path.exists():
+                continue
+            if verbosity >= 1:
+                print_fn(f"Loading binary checkpoint from : {path}")
+            data = np.load(path)
+            blocks: dict = {}
+            for key in data.files:
+                if key == "y":
+                    continue
+                name, idx = key.rsplit("_", 1)
+                blocks.setdefault(int(idx), {})[name] = data[key]
+            return _state_from_block_arrays(sdp, data["y"], blocks)
+    if (ck / "x_0.txt").exists():
+        return load_text_checkpoint(ck, sdp, verbosity, print_fn)
+    return None
+
+
+def load_text_checkpoint(directory, sdp: DeviceSDP, verbosity: int = 1,
+                         print_fn=print) -> SolverState:
+    """Start from a reference-format text solution (x_<i>.txt, y.txt,
+    X_matrix_<2i+p>.txt, Y_matrix_<2i+p>.txt), the portable migration path
+    (load_text_checkpoint.cxx:6-44)."""
+    import jax.numpy as jnp
+
+    from ..io.text_blocks import read_text_matrix
+
+    directory = Path(directory)
+    if verbosity >= 1:
+        print_fn(f"Loading text checkpoint from : {directory}")
+    K = sdp.b.K
+    npdt = np.float32 if sdp.b.dtype == jnp.float32 else np.float64
+
+    blocks: dict = {}
+    y = None
+    for bk in sdp.buckets:
+        sh = bk.shape
+        for idx in bk.block_indices:
+            if idx < 0:
+                continue
+            entry = {}
+            entry["x"] = read_text_matrix(
+                directory / f"x_{idx}.txt", K, npdt,
+                expect_shape=(sh.schur_size, 1))[:, :, 0]
+            if y is None:
+                y = read_text_matrix(directory / "y.txt", K, npdt,
+                                     expect_shape=(sdp.dual_dim, 1))[:, :, 0]
+            for parity, name, size in ((0, "even", sh.psd_even),
+                                       (1, "odd", sh.psd_odd)):
+                for mat in ("X", "Y"):
+                    key = f"{mat}_{name}"
+                    if size == 0:
+                        entry[key] = np.zeros((K, 0, 0), dtype=npdt)
+                    else:
+                        entry[key] = read_text_matrix(
+                            directory / f"{mat}_matrix_{2 * idx + parity}.txt",
+                            K, npdt, expect_shape=(size, size))
+            blocks[idx] = entry
+    return _state_from_block_arrays(sdp, y, blocks)
