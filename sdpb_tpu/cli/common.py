@@ -115,9 +115,22 @@ def setup_backend(force_cpu: bool = False):
     from ..utils import platform as plat
 
     plat.configure_cpu(force_cpu_platform=force_cpu)
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # Persistent compilation cache: the jitted iteration is expensive to
+    # build (minutes at high limb counts); cache it across processes keyed
+    # by shapes/config so repeated runs and checkpoint restarts are instant.
+    cache_dir = os.environ.get(
+        "SDPB_TPU_CACHE", os.path.expanduser("~/.cache/sdpb_tpu/xla"))
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     dtype = plat.default_base_dtype()
     if dtype == jnp.float64:

@@ -146,7 +146,11 @@ def _block_from_json(j, dim, num_points, data, N, K, np_dtype) -> BlockData:
 # "store" (no compression), control/objectives first, then per-block files.
 
 
-def write_sdp(path, sdp: SDPData, command: str = "", ndigits: Optional[int] = None):
+def write_sdp(path, sdp: SDPData, command: str = "", ndigits: Optional[int] = None,
+              block_format: str = "json", precision: Optional[int] = None):
+    """Write an sdp.zip (or directory).  block_format 'json' or 'bin'
+    (the reference's two Block_File_Formats; pvm2sdp defaults to bin,
+    /root/reference/src/pvm2sdp/main.cxx:23)."""
     from ..utils.strings import limbs_to_str
 
     def s(limbs):
@@ -164,16 +168,24 @@ def write_sdp(path, sdp: SDPData, command: str = "", ndigits: Optional[int] = No
     for blk in sdp.blocks:
         entries.append((f"block_info_{blk.index}.json", json.dumps(
             {"dim": blk.dim, "num_points": blk.num_points})))
-        data = {
-            "bilinear_bases_even": [[s(blk.bases_even[:, r, c]) for c in range(blk.bases_even.shape[2])]
-                                    for r in range(blk.bases_even.shape[1])],
-            "bilinear_bases_odd": [[s(blk.bases_odd[:, r, c]) for c in range(blk.bases_odd.shape[2])]
-                                   for r in range(blk.bases_odd.shape[1])],
-            "c": [s(blk.c[:, i]) for i in range(blk.c.shape[1])],
-            "B": [[s(blk.B[:, r, c]) for c in range(blk.B.shape[2])]
-                  for r in range(blk.B.shape[1])],
-        }
-        entries.append((f"block_data_{blk.index}.json", json.dumps(data)))
+        if block_format == "bin":
+            from .sdpb_bin import write_block_data_bin
+
+            mant = 24 if blk.c.dtype == np.float32 else 53
+            prec = precision or mant * blk.c.shape[0]
+            entries.append((f"block_data_{blk.index}.bin",
+                            write_block_data_bin(blk, prec)))
+        else:
+            data = {
+                "bilinear_bases_even": [[s(blk.bases_even[:, r, c]) for c in range(blk.bases_even.shape[2])]
+                                        for r in range(blk.bases_even.shape[1])],
+                "bilinear_bases_odd": [[s(blk.bases_odd[:, r, c]) for c in range(blk.bases_odd.shape[2])]
+                                       for r in range(blk.bases_odd.shape[1])],
+                "c": [s(blk.c[:, i]) for i in range(blk.c.shape[1])],
+                "B": [[s(blk.B[:, r, c]) for c in range(blk.B.shape[2])]
+                      for r in range(blk.B.shape[1])],
+            }
+            entries.append((f"block_data_{blk.index}.json", json.dumps(data)))
 
     if str(path).endswith(".zip"):
         with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as zf:
@@ -182,4 +194,7 @@ def write_sdp(path, sdp: SDPData, command: str = "", ndigits: Optional[int] = No
     else:
         os.makedirs(path, exist_ok=True)
         for name, content in entries:
-            (path / name).write_text(content)
+            if isinstance(content, bytes):
+                (path / name).write_bytes(content)
+            else:
+                (path / name).write_text(content)

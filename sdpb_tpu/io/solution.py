@@ -52,25 +52,42 @@ class WriteSolution:
         return cls(**flags)
 
 
-def host_blocks(sdp: DeviceSDP, state: SolverState) -> Dict[int, dict]:
-    """Un-bucket the device state into per-(real)-block host limb arrays.
+def psd_real_indices(dim: int, h_pad: int, h_real: int) -> np.ndarray:
+    """Row indices of the real PSD dims inside a dim*h_pad padded matrix
+    (each of the dim diagonal copies keeps its first h_real rows)."""
+    return np.concatenate(
+        [np.arange(d * h_pad, d * h_pad + h_real) for d in range(dim)]
+    ) if dim > 0 and h_real > 0 else np.zeros(0, dtype=int)
 
-    Returns {block_index: {x: [K,P], X_even: [K,pe,pe], X_odd, Y_even,
-    Y_odd}} with padding entries dropped."""
+
+def host_blocks(sdp: DeviceSDP, state: SolverState) -> Dict[int, dict]:
+    """Un-bucket the device state into per-(real)-block host limb arrays,
+    slicing away shape padding.
+
+    Returns {block_index: {x: [K,P_real], X_even: [K,pe,pe], X_odd,
+    Y_even, Y_odd}} with padding entries dropped."""
     out: Dict[int, dict] = {}
     for bk, bs in zip(sdp.buckets, state.buckets):
+        sh = bk.shape
         x = np.asarray(bs.x.limbs)
-        Xe = np.asarray(bs.X_even.limbs)
-        Xo = np.asarray(bs.X_odd.limbs)
-        Ye = np.asarray(bs.Y_even.limbs)
-        Yo = np.asarray(bs.Y_odd.limbs)
-        for i, idx in enumerate(bk.block_indices):
-            if idx < 0:
+        mats = {name: np.asarray(getattr(bs, name).limbs)
+                for name in ("X_even", "X_odd", "Y_even", "Y_odd")}
+        K = x.shape[0]
+        for i, rs in enumerate(bk.real_sizes):
+            if rs.block_index < 0:
                 continue
-            out[idx] = dict(
-                x=x[:, i], X_even=Xe[:, i], X_odd=Xo[:, i],
-                Y_even=Ye[:, i], Y_odd=Yo[:, i],
-            )
+            xi = x[:, i].reshape(K, sh.n_pairs, sh.num_points)[:, :, :rs.num_points]
+            entry = {"x": xi.reshape(K, -1)}
+            for name in mats:
+                h_pad = sh.h_even if name.endswith("even") else sh.h_odd
+                h_real = rs.h_even if name.endswith("even") else rs.h_odd
+                m = mats[name][:, i]
+                if h_real == h_pad:
+                    entry[name] = m
+                else:
+                    ridx = psd_real_indices(sh.dim, h_pad, h_real)
+                    entry[name] = m[:, ridx[:, None], ridx[None, :]]
+            out[rs.block_index] = entry
     return out
 
 

@@ -2,16 +2,30 @@
 
 The reference distributes J heterogeneous blocks over MPI rank groups as
 El::DistMatrices (/root/reference/src/sdp_solve/SDP.hxx:73-109).  The
-TPU-native layout instead groups blocks by identical (dim, num_points)
-shape into BATCHED MP arrays [B, ...], so one fused XLA computation
-processes a whole bucket; heterogeneity across buckets becomes a short
-unrolled Python loop inside jit, and the batch axis is what gets sharded
-over the device mesh (see sdpb_tpu.parallel).
+TPU-native layout instead groups blocks into BATCHED MP arrays [B, ...], so
+one fused XLA computation processes a whole bucket; the batch axis is what
+gets sharded over the device mesh (see sdpb_tpu.parallel).
 
-Bucket padding: the batch is padded to a multiple of the mesh size with
-identity-safe dummy blocks (mask=0) — zero bases/B/c, X=Y=I — whose Schur
-blocks are patched to I so Cholesky stays defined and whose contributions
-vanish from every reduction.
+Two levels of padding make heterogeneous blocks uniform:
+
+  * BLOCK padding: each bucket's batch is padded to a multiple of the mesh
+    size with dummy blocks (all masks zero, S and X/Y patched to I).
+  * SHAPE padding (quantized bucketing, the default): blocks whose
+    (dim, num_points) are *close* share a bucket; each is zero-padded to
+    the bucket's (num_points, h_even, h_odd) and carries element masks:
+      - row_mask [B, P]      1 for real constraint rows (pair, point)
+      - psd_mask_even/odd [B, dim*h]  1 for real PSD dimensions
+    Zero bases/B/c rows make padded constraints and PSD dims inert;
+    the solver patches Schur rows and X/Y diagonals to identity and masks
+    every residual/trace so padding contributes exactly nothing (see
+    sdpb_tpu.solver.step).  This keeps the number of distinct XLA programs
+    (and hence compile time) independent of the problem's shape diversity —
+    the analog of the reference running the same C++ code per block, which
+    XLA's static-shape model would otherwise forbid.
+
+Constraint-row layout inside a block: p = (pair, point) flattened with
+points contiguous per pair (pair ordering (s,r), r <= s, as SDP.hxx:52-58),
+with points padded to the bucket's num_points.
 """
 from __future__ import annotations
 
@@ -30,9 +44,9 @@ from ..ops.mpfloat import MP
 @dataclass(frozen=True)
 class BucketShape:
     dim: int          # m_j
-    num_points: int   # n_j  (= d_j + 1 sample points)
-    h_even: int       # rows of even bilinear basis (delta_even + 1)
-    h_odd: int        # rows of odd bilinear basis (may be 0)
+    num_points: int   # padded sample-point count
+    h_even: int       # padded rows of even bilinear basis
+    h_odd: int        # padded rows of odd bilinear basis (may be 0)
 
     @property
     def schur_size(self) -> int:
@@ -51,10 +65,19 @@ class BucketShape:
         return self.dim * (self.dim + 1) // 2
 
 
+@dataclass(frozen=True)
+class RealSize:
+    """Per-block real (unpadded) dims; block_index < 0 marks batch padding."""
+    block_index: int
+    num_points: int
+    h_even: int
+    h_odd: int
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Bucket:
-    """A batch of same-shape blocks resident on device."""
+    """A batch of same-(padded-)shape blocks resident on device."""
 
     bases_even: MP   # [B, h_e, np]
     bases_odd: MP    # [B, h_o, np]
@@ -62,23 +85,31 @@ class Bucket:
     emb_odd: MP      # [B, m*h_o, m*np]
     Bmat: MP         # [B, P_j, N]
     c: MP            # [B, P_j]
-    mask: jnp.ndarray    # [B] 1.0 real block / 0.0 padding
-    block_indices: tuple  # global block ids (static)
-    shape: BucketShape    # static
+    mask: jnp.ndarray           # [B] 1.0 real block / 0.0 batch padding
+    row_mask: jnp.ndarray       # [B, P] 1.0 real constraint row
+    psd_mask_even: jnp.ndarray  # [B, m*h_e] 1.0 real PSD dim
+    psd_mask_odd: jnp.ndarray   # [B, m*h_o]
+    real_sizes: tuple           # tuple[RealSize] (static)
+    shape: BucketShape          # static
 
     def tree_flatten(self):
         children = (self.bases_even, self.bases_odd, self.emb_even,
-                    self.emb_odd, self.Bmat, self.c, self.mask)
-        aux = (self.block_indices, self.shape)
+                    self.emb_odd, self.Bmat, self.c, self.mask,
+                    self.row_mask, self.psd_mask_even, self.psd_mask_odd)
+        aux = (self.real_sizes, self.shape)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, block_indices=aux[0], shape=aux[1])
+        return cls(*children, real_sizes=aux[0], shape=aux[1])
 
     @property
     def batch(self) -> int:
         return self.mask.shape[0]
+
+    @property
+    def block_indices(self) -> tuple:
+        return tuple(rs.block_index for rs in self.real_sizes)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -103,12 +134,13 @@ class DeviceSDP:
 
     @property
     def total_psd_rows(self) -> int:
-        """Sum of real PSD block sizes (denominator of mu; mirrors
+        """Sum of REAL PSD block sizes (denominator of mu; mirrors
         psd_matrix_block_sizes totals in run.cxx)."""
         total = 0
         for bk in self.buckets:
-            nreal = len([i for i in bk.block_indices if i >= 0])
-            total += nreal * (bk.shape.psd_even + bk.shape.psd_odd)
+            for rs in bk.real_sizes:
+                if rs.block_index >= 0:
+                    total += bk.shape.dim * (rs.h_even + rs.h_odd)
         return total
 
 
@@ -123,45 +155,85 @@ def _embed_blockdiag(basis_limbs: np.ndarray, dim: int) -> np.ndarray:
     return out
 
 
-def build_device_sdp(sdp: SDPData, pad_to: int = 1) -> DeviceSDP:
-    """Bucket host blocks by shape, pad each bucket's batch to a multiple of
-    `pad_to` (the mesh size), and stage everything to device MP arrays."""
+def _quantize(np_: int, quant: int) -> int:
+    return -(-np_ // quant) * quant
+
+
+def bucket_key(dim: int, num_points: int, policy: str, quant: int) -> tuple:
+    if policy == "exact":
+        return (dim, num_points, "exact")
+    return (dim, _quantize(num_points, quant))
+
+
+def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantized",
+                     quant: int = 8) -> DeviceSDP:
+    """Bucket host blocks by (quantized) shape, zero-pad each block to the
+    bucket shape, pad batches to a multiple of `pad_to` (the mesh size), and
+    stage everything to device MP arrays.
+
+    shape_policy:
+      * "quantized" (default): blocks with equal dim and num_points in the
+        same `quant`-sized band share a bucket (padded to the in-bucket max
+        num_points / h).  Compile time scales with the number of bands, not
+        with the number of distinct shapes.
+      * "exact": one bucket per exact shape (no element padding).
+    """
     K = sdp.b.shape[0]
     dtype = jnp.asarray(sdp.b).dtype
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
 
-    groups: Dict[BucketShape, List] = {}
+    groups: Dict[tuple, List] = {}
     for blk in sdp.blocks:
-        shape = BucketShape(
-            dim=blk.dim, num_points=blk.num_points,
-            h_even=blk.bases_even.shape[1], h_odd=blk.bases_odd.shape[1],
-        )
-        groups.setdefault(shape, []).append(blk)
+        key = bucket_key(blk.dim, blk.num_points, shape_policy, quant)
+        groups.setdefault(key, []).append(blk)
 
     buckets = []
-    for shape, blks in sorted(groups.items(), key=lambda kv: (kv[0].schur_size, kv[0].dim)):
+    for key, blks in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        dim = blks[0].dim
+        np_pad = max(b.num_points for b in blks)
+        he_pad = max(b.bases_even.shape[1] for b in blks)
+        ho_pad = max(b.bases_odd.shape[1] for b in blks)
+        shape = BucketShape(dim=dim, num_points=np_pad, h_even=he_pad, h_odd=ho_pad)
+
         B = len(blks)
         Bpad = -(-B // pad_to) * pad_to
         N = sdp.dual_dim
+        n_pairs = shape.n_pairs
+        P = shape.schur_size
 
-        def stack(attr, target_shape):
-            arrs = [getattr(b, attr) for b in blks]
-            out = np.zeros((Bpad, K) + target_shape, dtype=arrs[0].dtype)
-            for i, a in enumerate(arrs):
-                out[i] = a
-            # -> limbs-first [K, Bpad, ...]
-            return np.moveaxis(out, 1, 0)
+        bases_even = np.zeros((K, Bpad, he_pad, np_pad), dtype=npdt)
+        bases_odd = np.zeros((K, Bpad, ho_pad, np_pad), dtype=npdt)
+        c = np.zeros((K, Bpad, P), dtype=npdt)
+        Bmat = np.zeros((K, Bpad, P, N), dtype=npdt)
+        mask = np.zeros(Bpad, dtype=npdt)
+        row_mask = np.zeros((Bpad, P), dtype=npdt)
+        pm_even = np.zeros((Bpad, dim * he_pad), dtype=npdt)
+        pm_odd = np.zeros((Bpad, dim * ho_pad), dtype=npdt)
+        real_sizes = []
 
-        bases_even = stack("bases_even", (shape.h_even, shape.num_points))
-        bases_odd = stack("bases_odd", (shape.h_odd, shape.num_points))
-        c = stack("c", (shape.schur_size,))
-        Bmat = stack("B", (shape.schur_size, N))
+        for i, blk in enumerate(blks):
+            npr = blk.num_points
+            he = blk.bases_even.shape[1]
+            ho = blk.bases_odd.shape[1]
+            real_sizes.append(RealSize(blk.index, npr, he, ho))
+            bases_even[:, i, :he, :npr] = blk.bases_even
+            bases_odd[:, i, :ho, :npr] = blk.bases_odd
+            # constraint rows: [n_pairs, np_real] -> [n_pairs, np_pad]
+            c_r = blk.c.reshape(K, n_pairs, npr)
+            c[:, i].reshape(K, n_pairs, np_pad)[:, :, :npr] = c_r
+            B_r = blk.B.reshape(K, n_pairs, npr, N)
+            Bmat[:, i].reshape(K, n_pairs, np_pad, N)[:, :, :npr] = B_r
+            mask[i] = 1.0
+            row_mask[i].reshape(n_pairs, np_pad)[:, :npr] = 1.0
+            pm_even[i].reshape(dim, he_pad)[:, :he] = 1.0
+            pm_odd[i].reshape(dim, ho_pad)[:, :ho] = 1.0
+        for i in range(B, Bpad):
+            real_sizes.append(RealSize(-1, np_pad, he_pad, ho_pad))
+
         emb_even = np.stack(
-            [_embed_blockdiag(bases_even[:, i], shape.dim) for i in range(Bpad)], axis=1)
+            [_embed_blockdiag(bases_even[:, i], dim) for i in range(Bpad)], axis=1)
         emb_odd = np.stack(
-            [_embed_blockdiag(bases_odd[:, i], shape.dim) for i in range(Bpad)], axis=1)
-        mask = np.zeros(Bpad, dtype=np.float64 if dtype == jnp.float64 else np.float32)
-        mask[:B] = 1.0
-        indices = tuple(b.index for b in blks) + (-1,) * (Bpad - B)
+            [_embed_blockdiag(bases_odd[:, i], dim) for i in range(Bpad)], axis=1)
 
         buckets.append(Bucket(
             bases_even=MP(jnp.asarray(bases_even, dtype=dtype)),
@@ -171,7 +243,10 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1) -> DeviceSDP:
             Bmat=MP(jnp.asarray(Bmat, dtype=dtype)),
             c=MP(jnp.asarray(c, dtype=dtype)),
             mask=jnp.asarray(mask),
-            block_indices=indices,
+            row_mask=jnp.asarray(row_mask),
+            psd_mask_even=jnp.asarray(pm_even),
+            psd_mask_odd=jnp.asarray(pm_odd),
+            real_sizes=tuple(real_sizes),
             shape=shape,
         ))
 

@@ -97,6 +97,10 @@ def cholesky(A: MP) -> MP:
     Right-looking, one lax.fori_loop step per column with masked rank-1
     updates.  Mirrors cholesky_decomposition in the reference
     (/root/reference/src/sdp_solve/SDP_Solver/run/cholesky_decomposition.cxx).
+
+    One rsqrt Newton chain per column provides both the diagonal sqrt
+    (d = d2 * r) and the column scaling (1/d = r), keeping the loop body —
+    and hence the XLA graph — half the size of a sqrt + reciprocal pair.
     """
     n = A.shape[-1]
     row_idx = jnp.arange(n)
@@ -105,9 +109,9 @@ def cholesky(A: MP) -> MP:
         M, L = carry
         colM = MP(jnp.take(M.limbs, j, axis=M.limbs.ndim - 1))  # [K, ..., n]
         d2 = MP(jnp.take(colM.limbs, j, axis=colM.limbs.ndim - 1))  # [K, ...]
-        d = mp.sqrt(d2)
-        dinv = mp.reciprocal(d)
-        col = mp.mul(colM, MP(dinv.limbs[..., None]))
+        r = mp.rsqrt(d2)                    # 1/sqrt(d2)
+        d = mp.mul(d2, r)                   # sqrt(d2)
+        col = mp.mul(colM, MP(r.limbs[..., None]))
         below = row_idx > j
         col_below = MP(jnp.where(below, col.limbs, 0))
         # L column j: d on the diagonal, scaled entries below
@@ -122,27 +126,36 @@ def cholesky(A: MP) -> MP:
     return L
 
 
+def _diag_mp(L: MP) -> MP:
+    """Diagonal of [..., n, n] as [..., n]."""
+    return MP(jnp.diagonal(L.limbs, axis1=-2, axis2=-1))
+
+
 # ---------------------------------------------------------------------------
 # Triangular solves
 
 
-def solve_lower(L: MP, B: MP) -> MP:
+def solve_lower(L: MP, B: MP, diag_inv: MP = None) -> MP:
     """X = L^{-1} B by forward substitution; L [..., n, n] lower, B [..., n, m].
 
-    The reference's El::Trsm(LEFT, LOWER, NORMAL) analog.
+    The reference's El::Trsm(LEFT, LOWER, NORMAL) analog.  The diagonal
+    reciprocals are computed once, vectorized over all columns, OUTSIDE the
+    fori_loop — removing the Newton iteration from the loop body keeps the
+    XLA graph small (compile time) and the VPU work per step low.
     """
     n = L.shape[-1]
     row_idx = jnp.arange(n)
+    dinv = mp.reciprocal(_diag_mp(L)) if diag_inv is None else diag_inv  # [..., n]
 
     def body(i, X):
         Lrow = MP(jnp.take(L.limbs, i, axis=L.limbs.ndim - 2))  # [K, ..., n]
-        diag = MP(jnp.take(Lrow.limbs, i, axis=Lrow.limbs.ndim - 1))  # [K, ...]
+        di = MP(jnp.take(dinv.limbs, i, axis=dinv.limbs.ndim - 1))  # [K, ...]
         # acc = sum_{k<i} L[i,k] X[k,:]
         terms = mp.mul(MP(Lrow.limbs[..., :, None]), X)  # [..., n, m]
         terms = MP(jnp.where((row_idx < i)[:, None], terms.limbs, 0))
         acc = mp.sum_(terms, axis=terms.ndim - 2)  # [..., m]
         Brow = MP(jnp.take(B.limbs, i, axis=B.limbs.ndim - 2))
-        xi = mp.mul(mp.sub(Brow, acc), MP(mp.reciprocal(diag).limbs[..., None]))
+        xi = mp.mul(mp.sub(Brow, acc), MP(di.limbs[..., None]))
         X = MP(jnp.where((row_idx == i)[:, None], xi.limbs[..., None, :], X.limbs))
         return X
 
@@ -150,20 +163,21 @@ def solve_lower(L: MP, B: MP) -> MP:
     return jax.lax.fori_loop(0, n, body, X0)
 
 
-def solve_lower_T(L: MP, B: MP) -> MP:
+def solve_lower_T(L: MP, B: MP, diag_inv: MP = None) -> MP:
     """X = L^{-T} B by backward substitution (El::Trsm LEFT, LOWER, TRANSPOSE)."""
     n = L.shape[-1]
     row_idx = jnp.arange(n)
+    dinv = mp.reciprocal(_diag_mp(L)) if diag_inv is None else diag_inv
 
     def body(k, X):
         i = n - 1 - k
         Lcol = MP(jnp.take(L.limbs, i, axis=L.limbs.ndim - 1))  # [K, ..., n] = L[:, i]
-        diag = MP(jnp.take(Lcol.limbs, i, axis=Lcol.limbs.ndim - 1))
+        di = MP(jnp.take(dinv.limbs, i, axis=dinv.limbs.ndim - 1))
         terms = mp.mul(MP(Lcol.limbs[..., :, None]), X)  # L[k, i] X[k, :]
         terms = MP(jnp.where((row_idx > i)[:, None], terms.limbs, 0))
         acc = mp.sum_(terms, axis=terms.ndim - 2)
         Brow = MP(jnp.take(B.limbs, i, axis=B.limbs.ndim - 2))
-        xi = mp.mul(mp.sub(Brow, acc), MP(mp.reciprocal(diag).limbs[..., None]))
+        xi = mp.mul(mp.sub(Brow, acc), MP(di.limbs[..., None]))
         X = MP(jnp.where((row_idx == i)[:, None], xi.limbs[..., None, :], X.limbs))
         return X
 
@@ -172,8 +186,10 @@ def solve_lower_T(L: MP, B: MP) -> MP:
 
 
 def cholesky_solve(L: MP, B: MP) -> MP:
-    """A^{-1} B given A = L L^T (El::cholesky::SolveAfter analog)."""
-    return solve_lower_T(L, solve_lower(L, B))
+    """A^{-1} B given A = L L^T (El::cholesky::SolveAfter analog).
+    The diagonal reciprocal is shared by both triangular solves."""
+    dinv = mp.reciprocal(_diag_mp(L))
+    return solve_lower_T(L, solve_lower(L, B, dinv), dinv)
 
 
 # ---------------------------------------------------------------------------

@@ -372,6 +372,23 @@ def div(a: MP, b: MP) -> MP:
     return add(q, mul(rem, r))
 
 
+def rsqrt(a: MP) -> MP:
+    """1/sqrt(a) via Newton; a must be > 0 (zero/negative produce garbage —
+    callers guard).  One Newton chain serves both sqrt and the inverse,
+    which halves the factorization loop bodies (see linalg.cholesky)."""
+    half = from_double(np.float64(0.5), a.K, a.dtype)
+    three_half = from_double(np.float64(1.5), a.K, a.dtype)
+    seed = jax.lax.rsqrt(to_float_array(a))
+    r = MP(jnp.concatenate([seed[None], jnp.zeros_like(a.limbs[1:])], axis=0))
+
+    def body(_, r):
+        # r <- r * (1.5 - 0.5 * a * r^2)
+        arr = mul(a, mul(r, r))
+        return mul(r, sub(three_half, mul(half, arr)))
+
+    return jax.lax.fori_loop(0, _newton_steps(a.K), body, r)
+
+
 def sqrt(a: MP) -> MP:
     """sqrt via Newton on the inverse square root; a must be >= 0.
 
@@ -380,18 +397,8 @@ def sqrt(a: MP) -> MP:
     half = from_double(np.float64(0.5), a.K, a.dtype)
     x0 = to_float_array(a)
     is_zero = x0 <= 0
-    safe = jnp.where(is_zero, jnp.ones_like(x0), x0)
-    seed = jax.lax.rsqrt(safe)
-    r = MP(jnp.concatenate([seed[None], jnp.zeros_like(a.limbs[1:])], axis=0))
     a_safe = MP(jnp.where(is_zero, _one_like_limbs(a), a.limbs))
-    three_half = from_double(np.float64(1.5), a.K, a.dtype)
-
-    def body(_, r):
-        # r <- r * (1.5 - 0.5 * a * r^2)
-        arr = mul(a_safe, mul(r, r))
-        return mul(r, sub(three_half, mul(half, arr)))
-
-    r = jax.lax.fori_loop(0, _newton_steps(a.K), body, r)
+    r = rsqrt(a_safe)
     s = mul(a_safe, r)
     # refinement: s += (a - s^2) * r / 2
     rem = sub(a_safe, mul(s, s))

@@ -47,7 +47,8 @@ def sdp_pspecs(sdp: DeviceSDP, axis: str = BLOCK_AXIS) -> DeviceSDP:
             bases_even=P(None, axis), bases_odd=P(None, axis),
             emb_even=P(None, axis), emb_odd=P(None, axis),
             Bmat=P(None, axis), c=P(None, axis), mask=P(axis),
-            block_indices=bk.block_indices, shape=bk.shape,
+            row_mask=P(axis), psd_mask_even=P(axis), psd_mask_odd=P(axis),
+            real_sizes=bk.real_sizes, shape=bk.shape,
         )
         for bk in sdp.buckets
     ]

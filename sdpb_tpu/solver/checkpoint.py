@@ -85,31 +85,60 @@ def _state_from_block_arrays(sdp: DeviceSDP, y_limbs, block_arrays) -> SolverSta
     dtype = sdp.b.dtype
     npdt = np.float32 if dtype == jnp.float32 else np.float64
 
+    from ..io.solution import psd_real_indices
+
     buckets = []
     for bk in sdp.buckets:
         sh = bk.shape
         B = bk.batch
 
-        def gather(name, shape, eye: bool):
-            out = np.zeros((K, B) + shape, dtype=npdt)
-            for i, idx in enumerate(bk.block_indices):
-                if idx >= 0:
-                    arr = block_arrays[idx][name]
-                    if arr.shape != (K,) + shape:
-                        raise RuntimeError(
-                            f"Incompatible checkpoint block {idx} {name}: "
-                            f"expected {(K,) + shape}, found {arr.shape}")
+        def gather_x():
+            out = np.zeros((K, B, sh.schur_size), dtype=npdt)
+            o4 = out.reshape(K, B, sh.n_pairs, sh.num_points)
+            for i, rs in enumerate(bk.real_sizes):
+                if rs.block_index < 0:
+                    continue
+                arr = block_arrays[rs.block_index]["x"]
+                P_real = sh.n_pairs * rs.num_points
+                if arr.shape != (K, P_real):
+                    raise RuntimeError(
+                        f"Incompatible checkpoint block {rs.block_index} x: "
+                        f"expected {(K, P_real)}, found {arr.shape}")
+                o4[:, i, :, :rs.num_points] = arr.reshape(K, sh.n_pairs, rs.num_points)
+            return MP(jnp.asarray(out, dtype=dtype))
+
+        def gather_psd(name):
+            h_pad = sh.h_even if name.endswith("even") else sh.h_odd
+            n = sh.dim * h_pad
+            out = np.zeros((K, B, n, n), dtype=npdt)
+            for i, rs in enumerate(bk.real_sizes):
+                h_real = (rs.h_even if name.endswith("even") else rs.h_odd)
+                if rs.block_index < 0:
+                    if n > 0:
+                        out[0, i] = np.eye(n, dtype=npdt)
+                    continue
+                arr = block_arrays[rs.block_index][name]
+                nr = sh.dim * h_real
+                if arr.shape != (K, nr, nr):
+                    raise RuntimeError(
+                        f"Incompatible checkpoint block {rs.block_index} {name}: "
+                        f"expected {(K, nr, nr)}, found {arr.shape}")
+                if nr == n:
                     out[:, i] = arr
-                elif eye and shape[-1] > 0:
-                    out[0, i] = np.eye(shape[-1], dtype=npdt)
+                else:
+                    ridx = psd_real_indices(sh.dim, h_pad, h_real)
+                    out[:, i][np.ix_(range(K), ridx, ridx)] = arr
+                    # padded dims carry identity
+                    pad = np.setdiff1d(np.arange(n), ridx)
+                    out[0, i, pad, pad] = 1.0
             return MP(jnp.asarray(out, dtype=dtype))
 
         buckets.append(BucketState(
-            x=gather("x", (sh.schur_size,), eye=False),
-            X_even=gather("X_even", (sh.psd_even, sh.psd_even), eye=True),
-            X_odd=gather("X_odd", (sh.psd_odd, sh.psd_odd), eye=True),
-            Y_even=gather("Y_even", (sh.psd_even, sh.psd_even), eye=True),
-            Y_odd=gather("Y_odd", (sh.psd_odd, sh.psd_odd), eye=True),
+            x=gather_x(),
+            X_even=gather_psd("X_even"),
+            X_odd=gather_psd("X_odd"),
+            Y_even=gather_psd("Y_even"),
+            Y_odd=gather_psd("Y_odd"),
         ))
 
     y = MP(jnp.asarray(np.asarray(y_limbs, dtype=npdt), dtype=dtype))
@@ -164,18 +193,20 @@ def load_text_checkpoint(directory, sdp: DeviceSDP, verbosity: int = 1,
     y = None
     for bk in sdp.buckets:
         sh = bk.shape
-        for idx in bk.block_indices:
+        for rs in bk.real_sizes:
+            idx = rs.block_index
             if idx < 0:
                 continue
             entry = {}
+            P_real = sh.n_pairs * rs.num_points
             entry["x"] = read_text_matrix(
                 directory / f"x_{idx}.txt", K, npdt,
-                expect_shape=(sh.schur_size, 1))[:, :, 0]
+                expect_shape=(P_real, 1))[:, :, 0]
             if y is None:
                 y = read_text_matrix(directory / "y.txt", K, npdt,
                                      expect_shape=(sdp.dual_dim, 1))[:, :, 0]
-            for parity, name, size in ((0, "even", sh.psd_even),
-                                       (1, "odd", sh.psd_odd)):
+            for parity, name, size in ((0, "even", sh.dim * rs.h_even),
+                                       (1, "odd", sh.dim * rs.h_odd)):
                 for mat in ("X", "Y"):
                     key = f"{mat}_{name}"
                     if size == 0:

@@ -60,45 +60,39 @@ class SolverState:
         return cls(*children)
 
 
-def _identity_mp(B, n, K, dtype, scale_limbs=None):
-    eye = jnp.eye(n, dtype=dtype)
-    limbs = jnp.zeros((K, B, n, n), dtype=dtype)
-    if n == 0:
-        return MP(limbs)
-    if scale_limbs is None:
-        limbs = limbs.at[0].set(eye)
-    else:
-        # scale is an exact K-limb constant: Omega * I has limbs Omega_k * eye
-        for k in range(K):
-            limbs = limbs.at[k].set(eye * scale_limbs[k])
-    return MP(limbs)
-
-
 def initial_state(sdp: DeviceSDP, omega_primal_limbs, omega_dual_limbs) -> SolverState:
-    """x = y = 0, X = Omega_p I, Y = Omega_d I
+    """x = y = 0, X = Omega_p I, Y = Omega_d I on REAL PSD dims
     (SDP_Solver ctor, /root/reference/src/sdp_solve/SDP_Solver/SDP_Solver.cxx:24-38).
 
-    Padded batch entries get X = Y = I (unscaled) so their Cholesky stays
-    perfectly conditioned regardless of Omega."""
+    Padded PSD dims (shape padding and whole padded batch entries) get
+    X = Y = I so their Cholesky stays perfectly conditioned regardless of
+    Omega, and their updates are masked to zero every iteration."""
     K = sdp.b.K
     dtype = sdp.b.dtype
     buckets = []
     for bk in sdp.buckets:
         B = bk.batch
         sh = bk.shape
-        mask = bk.mask  # [B]
 
-        def psd_init(n, omega):
-            scaled = _identity_mp(B, n, K, dtype, omega)
-            plain = _identity_mp(B, n, K, dtype, None)
-            m = mask[:, None, None]
-            return MP(scaled.limbs * m + plain.limbs * (1 - m))
+        def psd_init(psd_mask, omega):
+            n = psd_mask.shape[1]
+            limbs = jnp.zeros((K, B, n, n), dtype=dtype)
+            if n == 0:
+                return MP(limbs)
+            eye = jnp.eye(n, dtype=dtype)
+            m = psd_mask.astype(dtype)  # [B, n]; diag mask
+            diag_real = eye * m[:, None, :]
+            diag_pad = eye * (1 - m)[:, None, :]
+            limbs = limbs.at[0].set(diag_real * omega[0] + diag_pad)
+            for k in range(1, K):
+                limbs = limbs.at[k].set(diag_real * omega[k])
+            return MP(limbs)
 
         buckets.append(BucketState(
             x=mp.zeros((B, sh.schur_size), K, dtype),
-            X_even=psd_init(sh.psd_even, omega_primal_limbs),
-            X_odd=psd_init(sh.psd_odd, omega_primal_limbs),
-            Y_even=psd_init(sh.psd_even, omega_dual_limbs),
-            Y_odd=psd_init(sh.psd_odd, omega_dual_limbs),
+            X_even=psd_init(bk.psd_mask_even, omega_primal_limbs),
+            X_odd=psd_init(bk.psd_mask_odd, omega_primal_limbs),
+            Y_even=psd_init(bk.psd_mask_even, omega_dual_limbs),
+            Y_odd=psd_init(bk.psd_mask_odd, omega_dual_limbs),
         ))
     return SolverState(y=mp.zeros((sdp.dual_dim,), K, dtype), buckets=buckets)

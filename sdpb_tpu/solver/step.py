@@ -68,7 +68,31 @@ def _pairs(dim):
 
 def _mask_mp(x: MP, mask, extra_dims: int) -> MP:
     m = mask.reshape((1,) + mask.shape + (1,) * extra_dims)
-    return MP(x.limbs * m)
+    return MP(x.limbs * m.astype(x.dtype))
+
+
+def _row_mask_mp(x: MP, row_mask) -> MP:
+    """Mask constraint rows: x [B, P, ...] by row_mask [B, P]."""
+    m = row_mask.reshape((1,) + row_mask.shape + (1,) * (x.ndim - 2))
+    return MP(x.limbs * m.astype(x.dtype))
+
+
+def _psd_outer_masks(bucket: Bucket):
+    """Per-parity elementwise PSD masks [B, n, n] (1 where both dims real).
+    Shape-padded dims and whole batch-padding entries are zero."""
+    out = []
+    if bucket.shape.h_even > 0:
+        m = bucket.psd_mask_even
+        out.append(m[:, :, None] * m[:, None, :])
+    if bucket.shape.h_odd > 0:
+        m = bucket.psd_mask_odd
+        out.append(m[:, :, None] * m[:, None, :])
+    return out
+
+
+def _mask_psd(x: MP, outer_mask) -> MP:
+    """x [B, n, n] masked elementwise by outer_mask [B, n, n]."""
+    return MP(x.limbs * outer_mask[None].astype(x.dtype))
 
 
 def _scalar_mp(x: float, K, dtype) -> MP:
@@ -164,11 +188,13 @@ def _schur_complement(bucket: Bucket, TXs, TYs) -> MP:
         S = mp.mul_pow2(S, np.float64(0.25))
         S = S.reshape((B, P, P))
     S = linalg.symmetrize(S)
-    # padded entries: S = I so the Cholesky stays defined
+    # padded constraint rows (shape padding and whole padded batch entries):
+    # S row/col zeroed, diagonal patched to 1 so the Cholesky stays defined
+    # and padded dx solve to exactly 0.
+    rm = bucket.row_mask.astype(S.dtype)
     eye = jnp.eye(P, dtype=S.dtype)
-    pad = (1.0 - bucket.mask)[:, None, None]
-    S = MP(S.limbs * bucket.mask[:, None, None])
-    S = MP(S.limbs.at[0].add(eye * pad))
+    S = MP(S.limbs * (rm[:, :, None] * rm[:, None, :]))
+    S = MP(S.limbs.at[0].add(eye * (1.0 - rm)[:, :, None]))
     return S
 
 
@@ -282,7 +308,7 @@ def make_iteration(cfg: StepConfig):
         # ---- objectives (compute_objectives.cxx:10-31)
         p_obj = sdp.objective_const
         for bk, bs in zip(sdp.buckets, state.buckets):
-            cx = mp.sum_(_mask_mp(mp.mul(bk.c, bs.x), bk.mask, 1), axis=None)
+            cx = mp.sum_(_row_mask_mp(mp.mul(bk.c, bs.x), bk.row_mask), axis=None)
             p_obj = mp.add(p_obj, cx)
         p_obj = _psum_mp(p_obj, axis)
         d_obj = mp.add(sdp.objective_const, mp.dot(sdp.b, state.y))
@@ -326,7 +352,8 @@ def make_iteration(cfg: StepConfig):
             By = linalg.matvec(bk.Bmat, state.y)
             res = mp.sub(mp.sub(bk.c, diag_sum), By)
             dual_residues.append(res)
-            dual_error = jnp.maximum(dual_error, mp.max_abs(_mask_mp(res, bk.mask, 1)))
+            dual_error = jnp.maximum(
+                dual_error, mp.max_abs(_row_mask_mp(res, bk.row_mask)))
         dual_error = _pmax(dual_error, axis)
 
         # ---- primal residues P = sum_p A_p x_p - X
@@ -336,19 +363,22 @@ def make_iteration(cfg: StepConfig):
         for bk, bs in zip(sdp.buckets, state.buckets):
             Ax = _constraint_matrix_weighted_sum(bk, bs.x)
             Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
-            Ps = [mp.sub(a, X) for a, X in zip(Ax, Xs)]
+            # mask kills the -I of padded PSD dims (X = I there by
+            # construction, sum A_p x_p = 0)
+            Ps = [_mask_psd(mp.sub(a, X), om)
+                  for a, X, om in zip(Ax, Xs, _psd_outer_masks(bk))]
             primal_residues.append(Ps)
             for P in Ps:
-                primal_error_P = jnp.maximum(
-                    primal_error_P, mp.max_abs(_mask_mp(P, bk.mask, 2)))
+                primal_error_P = jnp.maximum(primal_error_P, mp.max_abs(P))
         primal_error_P = _pmax(primal_error_P, axis)
 
         # ---- primal residue p = b - B^T x
         #      (compute_primal_residues_and_error_p_b_Bx.cxx)
         Btx = mp.zeros((sdp.dual_dim,), K, dtype)
         for bk, bs in zip(sdp.buckets, state.buckets):
-            t = linalg.matmul(bk.Bmat.mT, MP(bs.x.limbs[..., None]))[..., 0]  # [B,N]
-            Btx = mp.add(Btx, mp.sum_(_mask_mp(t, bk.mask, 1), axis=0))
+            xm = _row_mask_mp(bs.x, bk.row_mask)
+            t = linalg.matmul(bk.Bmat.mT, MP(xm.limbs[..., None]))[..., 0]  # [B,N]
+            Btx = mp.add(Btx, mp.sum_(t, axis=0))
         Btx = _psum_mp(Btx, axis)
         primal_residue_p = mp.sub(sdp.b, Btx)
         primal_error_p = _pmax(mp.max_abs(primal_residue_p), axis)
@@ -378,8 +408,9 @@ def make_iteration(cfg: StepConfig):
         for bk, bs in zip(sdp.buckets, state.buckets):
             Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
             Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
-            for X, Y in zip(Xs, Ys):
-                t = mp.sum_(_mask_mp(linalg.frobenius(X, Y), bk.mask, 0), axis=0)
+            for X, Y, om in zip(Xs, Ys, _psd_outer_masks(bk)):
+                # mask excludes the padded identity dims from Tr(XY)
+                t = mp.sum_(linalg.frobenius(_mask_psd(X, om), Y), axis=0)
                 trXY = t if trXY is None else mp.add(trXY, t)
         trXY = _psum_mp(trXY, axis)
         mu = mp.div(trXY, _scalar_mp(float(cfg.total_psd_rows), K, dtype))
@@ -387,21 +418,56 @@ def make_iteration(cfg: StepConfig):
         max_comp = min(cfg.max_complementarity, float(np.finfo(dtype).max))
         max_comp_exceeded = mp.to_float_array(mu) > max_comp
 
-        # ---- search direction (compute_search_direction.cxx:56-93)
-        def search_direction(beta: MP, dXdY: Optional[tuple]):
-            dxs, dXs_out, dYs_R = [], [], []
+        # ---- predictor + corrector as ONE scanned search direction
+        #
+        # The two phases (step.cxx:106-127) run the identical program —
+        # only beta and the -dX dY correction term differ — so they are a
+        # 2-step lax.scan over a (dx, dX, dy, dY, beta) carry.  The
+        # search-direction graph (the largest part of the iteration) is
+        # traced and compiled ONCE instead of twice.  Step 0 reproduces the
+        # predictor bitwise: the correction term is scaled by 0 and beta
+        # selects beta_predictor (predictor_centering_parameter.cxx:4-9).
+        beta_pred = mp.where(is_pd_feasible, mp.zeros((), K, dtype), beta_infeas)
+        total_mp = _scalar_mp(float(cfg.total_psd_rows), K, dtype)
+
+        def pc_body(carry, step_idx):
+            dXs_p, dYs_p, _, _, _ = carry
+            is_corr = (step_idx > 0)
+            corr_scale = step_idx.astype(dtype)  # 0.0 predictor / 1.0 corrector
+
+            # corrector beta from the previous direction
+            # (corrector_centering_parameter.cxx:12-31)
+            frob = None
+            for i, (bk, bs) in enumerate(zip(sdp.buckets, state.buckets)):
+                Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
+                Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
+                oms = _psd_outer_masks(bk)
+                for ip, (X, Y) in enumerate(zip(Xs, Ys)):
+                    t = linalg.frobenius(
+                        _mask_psd(mp.add(X, dXs_p[i][ip]), oms[ip]),
+                        mp.add(Y, dYs_p[i][ip]))
+                    t = mp.sum_(t, axis=0)
+                    frob = t if frob is None else mp.add(frob, t)
+            frob = _psum_mp(frob, axis)
+            r = mp.div(frob, mp.mul(mu, total_mp))
+            beta_cand = mp.where(mp.lt(r, one), mp.mul(r, r), r)
+            beta_c_feas = mp.minimum(mp.maximum(beta_feas, beta_cand), one)
+            beta_c_infeas = mp.maximum(beta_infeas, beta_cand)
+            beta_corr = mp.where(is_pd_feasible, beta_c_feas, beta_c_infeas)
+            beta = mp.where(is_corr, beta_corr, beta_pred)
+
+            # search direction (compute_search_direction.cxx:56-93)
             bmu = mp.mul(beta, mu)
-            Rs_all = []
-            Zs_all = []
+            dxs, Rs_all = [], []
             for i, (bk, bs) in enumerate(zip(sdp.buckets, state.buckets)):
                 Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
                 Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
                 Rs, Zs = [], []
                 for ip, (X, Y) in enumerate(zip(Xs, Ys)):
-                    # R = beta mu I - X Y (- dX dY in corrector phase)
+                    # R = beta mu I - X Y - [corrector] dX dY
                     R = MP(-linalg.matmul(X, Y).limbs)
-                    if dXdY is not None:
-                        R = mp.sub(R, linalg.matmul(dXdY[0][i][ip], dXdY[1][i][ip]))
+                    corr = linalg.matmul(dXs_p[i][ip], dYs_p[i][ip])
+                    R = mp.sub(R, MP(corr.limbs * corr_scale))
                     n = R.shape[-1]
                     eye = jnp.eye(n, dtype=dtype)
                     R = mp.add(R, MP(bmu.limbs[:, None, None] * eye))
@@ -412,7 +478,6 @@ def make_iteration(cfg: StepConfig):
                     Rs.append(R)
                     Zs.append(Z)
                 Rs_all.append(Rs)
-                Zs_all.append(Zs)
                 # dx rhs = -dual_residues - Tr(A_p Z) (compute_schur_RHS.cxx)
                 trAZ = _trace_Ap(bk, Zs)
                 dxs.append(MP(-mp.add(dual_residues[i], trAZ).limbs))
@@ -424,13 +489,13 @@ def make_iteration(cfg: StepConfig):
                 v = linalg.solve_lower(L_Ss[i], MP(dxs[i].limbs[..., None]))
                 vs.append(v)
                 t = linalg.matmul(offs[i].mT, v)[..., 0]       # [B,N]
-                dy_local = mp.add(dy_local, mp.sum_(_mask_mp(t, bk.mask, 1), axis=0))
+                dy_local = mp.add(dy_local, mp.sum_(t, axis=0))
             dy = mp.sub(primal_residue_p, _psum_mp(dy_local, axis))
             dy = linalg.cholesky_solve(L_Q, MP(dy.limbs[..., None]))[..., 0]
             for i, bk in enumerate(sdp.buckets):
                 v = mp.add(vs[i], linalg.matmul(offs[i], MP(dy.limbs[..., None])))
                 dx = linalg.solve_lower_T(L_Ss[i], v)[..., 0]
-                dx = _mask_mp(dx, bk.mask, 1)
+                dx = _row_mask_mp(dx, bk.row_mask)
                 dxs[i] = dx
 
             # dX = P + sum_p A_p dx_p ; dY = -Sym(X^{-1}(dX Y - R))
@@ -438,40 +503,34 @@ def make_iteration(cfg: StepConfig):
             for i, (bk, bs) in enumerate(zip(sdp.buckets, state.buckets)):
                 Adx = _constraint_matrix_weighted_sum(bk, dxs[i])
                 Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
+                oms = _psd_outer_masks(bk)
                 bdX, bdY = [], []
                 for ip in range(len(Adx)):
                     dX = mp.add(Adx[ip], primal_residues[i][ip])
-                    dX = _mask_mp(dX, bk.mask, 2)
+                    dX = _mask_psd(dX, oms[ip])
                     dY = mp.sub(linalg.matmul(dX, Ys[ip]), Rs_all[i][ip])
                     dY = linalg.cholesky_solve(X_chols[i][ip], dY)
                     dY = MP(-linalg.symmetrize(dY).limbs)
-                    dY = _mask_mp(dY, bk.mask, 2)
+                    dY = _mask_psd(dY, oms[ip])
                     bdX.append(dX)
                     bdY.append(dY)
                 dXs.append(bdX)
                 dYs.append(bdY)
-            return dxs, dXs, dy, dYs
+            return (dXs, dYs, dxs, dy, beta), None
 
-        # predictor (step.cxx:106-114)
-        beta_pred = mp.where(is_pd_feasible, mp.zeros((), K, dtype), beta_infeas)
-        dxs, dXs, dy, dYs = search_direction(beta_pred, None)
+        def zeros_like_psd(bs, bk):
+            return [mp.zeros(X.shape, K, dtype)
+                    for X in _psd_pair(bs, "X_even", "X_odd", bk.shape)]
 
-        # corrector (step.cxx:118-127; corrector_centering_parameter.cxx:12-31)
-        frob = None
-        for i, (bk, bs) in enumerate(zip(sdp.buckets, state.buckets)):
-            Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
-            Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
-            for ip, (X, Y) in enumerate(zip(Xs, Ys)):
-                t = linalg.frobenius(mp.add(X, dXs[i][ip]), mp.add(Y, dYs[i][ip]))
-                t = mp.sum_(_mask_mp(t, bk.mask, 0), axis=0)
-                frob = t if frob is None else mp.add(frob, t)
-        frob = _psum_mp(frob, axis)
-        r = mp.div(frob, mp.mul(mu, _scalar_mp(float(cfg.total_psd_rows), K, dtype)))
-        beta = mp.where(mp.lt(r, one), mp.mul(r, r), r)
-        beta_c_feas = mp.minimum(mp.maximum(beta_feas, beta), one)
-        beta_c_infeas = mp.maximum(beta_infeas, beta)
-        beta_corr = mp.where(is_pd_feasible, beta_c_feas, beta_c_infeas)
-        dxs, dXs, dy, dYs = search_direction(beta_corr, (dXs, dYs))
+        carry0 = (
+            [zeros_like_psd(bs, bk) for bk, bs in zip(sdp.buckets, state.buckets)],
+            [zeros_like_psd(bs, bk) for bk, bs in zip(sdp.buckets, state.buckets)],
+            [mp.zeros((bk.batch, bk.shape.schur_size), K, dtype) for bk in sdp.buckets],
+            mp.zeros((sdp.dual_dim,), K, dtype),
+            mp.zeros((), K, dtype),
+        )
+        (dXs, dYs, dxs, dy, beta_corr), _ = jax.lax.scan(
+            pc_body, carry0, jnp.arange(2))
 
         # ---- step lengths (step.cxx:129-144)
         lam_p, lam_d = None, None
