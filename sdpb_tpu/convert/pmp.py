@@ -102,7 +102,11 @@ def read_pmp_input(path) -> Tuple[List, List, List[PositiveMatrixWithPrefactor]]
         raise ValueError(f"Unknown PMP input extension: {path}")
     for mat in matrices:
         for pole in mat.damped_rational.poles:
-            if pole >= 0:
+            # the reference rejects only strictly positive poles
+            # (read_input.cxx:56-64); a pole AT zero is legal — it is used
+            # in the sample scalings (x_k > 0) but dropped from the
+            # bilinear-basis measure (precompute.cxx:19-23)
+            if pole > 0:
                 raise ValueError(
                     f"All poles must be negative, found: {pole}")
     return objective, normalization, matrices
@@ -132,7 +136,8 @@ def _moment(damped: DampedRational, m: int) -> mpmath.mpf:
     """integral_0^inf x^m * constant * base^x / prod(x - p_i) dx.
 
     base < 1 and poles < 0 make the integrand smooth with exponential
-    decay; split at the decay scale for the quadrature."""
+    decay; split at the decay scale for the quadrature.  Callers must
+    filter out poles >= 0 first (see bilinear_basis)."""
     logb = mpmath.log(damped.base)
     if logb >= 0:
         raise ValueError("DampedRational base must be < 1 for convergence")
@@ -153,11 +158,16 @@ def bilinear_basis(damped: DampedRational, half_max_degree: int) -> List[Polynom
     """ON polynomials q_0..q_{half_max_degree} wrt the measure: Gram-Hankel
     H[r][c] = moment(r+c), H = R^T R, q_m coefficients = column m of R^{-1}
     (bilinear_basis.cxx:46-91)."""
-    if damped.is_constant():
-        return [Polynomial([1 / mpmath.sqrt(damped.constant)])]
+    # poles >= 0 are excluded from the orthogonality measure (they remain
+    # in the sample scalings) — precompute.cxx:19-23
+    measure = DampedRational(
+        constant=damped.constant, base=damped.base,
+        poles=[p for p in damped.poles if p < 0])
+    if measure.is_constant():
+        return [Polynomial([1 / mpmath.sqrt(measure.constant)])]
 
     n = half_max_degree + 1
-    table = [_moment(damped, m) for m in range(2 * half_max_degree + 1)]
+    table = [_moment(measure, m) for m in range(2 * half_max_degree + 1)]
     H = mpmath.matrix(n, n)
     for r in range(n):
         for c in range(n):

@@ -129,3 +129,56 @@ def test_pmp_negative_pole_validation(tmp_path):
     p.write_text(json.dumps(bad))
     with pytest.raises(ValueError, match="poles must be negative"):
         read_pmp_input(p)
+
+
+MATHEMATICA_TOY = r"""
+(* toy: maximize -y s.t. 1 + x^4 + y(x^4/12 + x^2) >= 0 *)
+SDP[{0, -1}, {1, 0},
+ {PositiveMatrixWithPrefactor[DampedRational[1.`200, {}, 0.36787944117144232159552377016146086744581113103\
+177`200.1, x],
+   {{{1 + 1.`200*x^4, x^2 + 8.3333333333333333333333333333333333333333*^-2*x^4}}}]}]
+"""
+
+
+def test_mathematica_parser_toy(tmp_path):
+    """Hand-written .m with backtick precision marks, *^ exponents, and
+    line continuations parses to the same PMP as the JSON toy."""
+    from sdpb_tpu.convert.mathematica import read_pmp_mathematica
+    from sdpb_tpu.convert.pmp import read_pmp_input
+
+    with mpmath.workprec(256):
+        mfile = tmp_path / "toy.m"
+        mfile.write_text(MATHEMATICA_TOY)
+        obj, norm, mats = read_pmp_input(mfile)
+        assert [float(o) for o in obj] == [0.0, -1.0]
+        assert [float(v) for v in norm] == [1.0, 0.0]
+        assert len(mats) == 1
+        jfile = tmp_path / "toy.json"
+        jfile.write_text(json.dumps(TOY_PMP))
+        jobj, jnorm, jmats = read_pmp_input(jfile)
+        m, jm = mats[0], jmats[0]
+        assert abs(m.damped_rational.base - jm.damped_rational.base) < mpmath.mpf("1e-45")
+        for pm, pj in zip(m.polynomials[0][0], jm.polynomials[0][0]):
+            assert pm.degree == pj.degree
+            for cm, cj in zip(pm.coefficients, pj.coefficients):
+                assert abs(cm - cj) < mpmath.mpf("1e-38")
+
+
+def test_mathematica_parser_fixture():
+    """The reference's split2.m (461-component normalization, 24 poles,
+    line continuations everywhere) parses."""
+    import os
+
+    path = "/root/reference/test/data/sdp2input/sdp2input_split2.m"
+    if not os.path.exists(path):
+        pytest.skip("no reference data")
+    from sdpb_tpu.convert.mathematica import read_pmp_mathematica
+
+    with mpmath.workprec(700):
+        obj, norm, mats = read_pmp_mathematica(path)
+    assert obj == []
+    assert len(norm) == 461
+    assert len(mats) == 1
+    assert len(mats[0].damped_rational.poles) == 24
+    assert all(p <= 0 for p in mats[0].damped_rational.poles)
+    assert len(mats[0].polynomials[0][0]) == 461
