@@ -212,6 +212,18 @@ def to_float_array(a: MP):
     return a.limbs[0] + a.limbs[1]
 
 
+def round_to(a: MP, K: int) -> MP:
+    """Truncate to the leading K limbs (valid rounding for renormalized
+    expansions: limbs are non-overlapping, so dropping the tail rounds to
+    ~K*p bits).  K larger than a.K zero-extends."""
+    if K == a.K:
+        return a
+    if K < a.K:
+        return MP(a.limbs[:K])
+    pad = jnp.zeros((K - a.K,) + a.shape, dtype=a.dtype)
+    return MP(jnp.concatenate([a.limbs, pad], axis=0))
+
+
 # ---------------------------------------------------------------------------
 # Renormalization ("distillation by repeated extraction")
 #

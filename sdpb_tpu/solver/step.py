@@ -137,15 +137,22 @@ class IterationStats(NamedTuple):
 # Iteration pieces
 
 
-def _compute_pairings(bucket: Bucket, Ls: List[MP], Ys: List[MP]):
-    """A_X_inv = emb^T X^{-1} emb via Trsm+Syrk, A_Y = emb^T Y emb via two
-    Gemms (compute_A_X_inv.cxx:21-30, compute_A_Y.cxx:31-37), reshaped to
+def _compute_pairings(bucket: Bucket, X_solvers, Ys: List[MP], n_refine: int):
+    """A_X_inv = emb^T X^{-1} emb (refined solve against X in place of the
+    reference's full-precision Trsm+Syrk, compute_A_X_inv.cxx:21-30),
+    A_Y = emb^T Y emb via two Gemms (compute_A_Y.cxx:31-37), reshaped to
     pairing tensors T[B, m, np, m, np]."""
     sh = bucket.shape
     TXs, TYs = [], []
-    for (basis, emb), L, Y in zip(_bases(bucket), Ls, Ys):
-        W = linalg.solve_lower(L, emb)               # L^{-1} emb
-        A_X = linalg.matmul(W.mT, W)                 # emb^T X^{-1} emb
+    for (basis, emb), xsol, Y in zip(_bases(bucket), X_solvers, Ys):
+        V = xsol.solve(emb, n_refine)                # X^{-1} emb, full K
+        # Gram form V^T X V (not emb^T V): EXACTLY PSD like the reference's
+        # Syrk of L^{-1} emb, and the refinement error delta enters only as
+        # O(delta^2) — an asymmetric emb^T V makes the downstream Schur
+        # complement indefinite at the bottom of its spectrum, which kills
+        # its low-precision Cholesky.
+        X = xsol.A
+        A_X = linalg.symmetrize(linalg.matmul(V.mT, linalg.matmul(X, V)))
         A_Y = linalg.matmul(emb.mT, linalg.matmul(Y, emb))
         m, n = sh.dim, sh.num_points
         TXs.append(A_X.reshape((A_X.shape[0], m, n, m, n)))
@@ -248,14 +255,23 @@ def _trace_Ap(bucket: Bucket, Zs: List[MP]) -> MP:
     return total
 
 
-def _step_length_lambda(Ls: List[MP], dMs: List[MP], mask, axis):
+def _step_length_lambda(solvers, dMs: List[MP], mask, axis):
     """min over blocks of lambda_min(L^{-1} dM L^{-T})
     (step_length.cxx:27-48, min_eigenvalue.cxx:8-33).  Padded entries
-    contribute 0 (no constraint)."""
+    contribute 0 (no constraint).
+
+    Runs entirely at factor precision: the step length needs only a few
+    digits (it is scaled by gamma=0.7 anyway), but the CHOLESKY must be the
+    K_f-limb one — a plain f64 factor of X is indefinite under rounding
+    once cond(X) > 1e16, which the IPM reaches long before convergence."""
     lam = None
-    for L, dM in zip(Ls, dMs):
-        W = linalg.solve_lower(L, dM)
-        T = linalg.solve_lower(L, W.mT)
+    for sol, dM in zip(solvers, dMs):
+        dM_lo = mp.round_to(dM, sol.Kf)
+        # the factor is of the equilibrated matrix D M D, whose Cholesky is
+        # L~ with L = D^{-1} L~; the congruence needs D dM D
+        dM_s = MP(dM_lo.limbs * (sol.scale[..., :, None] * sol.scale[..., None, :]))
+        W = linalg.solve_lower(sol.L, dM_s, sol.dinv)
+        T = linalg.solve_lower(sol.L, W.mT, sol.dinv)
         lmin = linalg.min_eigenvalue_estimate(T)     # [B]
         lmin = jnp.where(mask > 0, lmin, 0.0)
         bmin = jnp.min(lmin)
@@ -283,6 +299,12 @@ class StepConfig:
     primal_error_threshold: float
     dual_error_threshold: float
     max_complementarity: float
+    # mixed-precision solve scheme (see ops.linalg.PosdefSolver): Cholesky
+    # factors at factor_limbs (double-double by default), full precision
+    # recovered with n_refine refinement passes.  0 passes = pure
+    # low-precision solves (only sensible when K == factor_limbs).
+    factor_limbs: int = 2
+    n_refine: int = 0
 
 
 def make_iteration(cfg: StepConfig):
@@ -316,19 +338,20 @@ def make_iteration(cfg: StepConfig):
         gap_den = mp.maximum(mp.add(mp.abs_(p_obj), mp.abs_(d_obj)), one)
         duality_gap = mp.div(gap_num, gap_den)
 
-        # ---- Cholesky of X and Y (run.cxx:136-140)
-        X_chols, Y_chols = [], []
+        # ---- Cholesky of X and Y at factor precision (run.cxx:136-140);
+        # X gets a refined-solve wrapper, Y's factor only feeds step length
+        X_solvers, Y_solvers = [], []
         for bk, bs in zip(sdp.buckets, state.buckets):
             Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
             Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
-            X_chols.append([linalg.cholesky(X) for X in Xs])
-            Y_chols.append([linalg.cholesky(Y) for Y in Ys])
+            X_solvers.append([linalg.PosdefSolver(X, cfg.factor_limbs) for X in Xs])
+            Y_solvers.append([linalg.PosdefSolver(Y, cfg.factor_limbs) for Y in Ys])
 
         # ---- bilinear pairings (compute_bilinear_pairings.cxx:17-31)
         TXs_all, TYs_all = [], []
-        for bk, bs, Lx in zip(sdp.buckets, state.buckets, X_chols):
+        for bk, bs, xsols in zip(sdp.buckets, state.buckets, X_solvers):
             Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
-            TX, TY = _compute_pairings(bk, Lx, Ys)
+            TX, TY = _compute_pairings(bk, xsols, Ys, cfg.n_refine)
             TXs_all.append(TX)
             TYs_all.append(TY)
 
@@ -391,17 +414,19 @@ def make_iteration(cfg: StepConfig):
 
         # ---- Schur complement solver init
         #      (initialize_schur_complement_solver.cxx:61-103)
-        L_Ss, offs = [], []
+        S_solvers, SinvBs = [], []
         Q = mp.zeros((sdp.dual_dim, sdp.dual_dim), K, dtype)
         for bk, TXs, TYs in zip(sdp.buckets, TXs_all, TYs_all):
             S = _schur_complement(bk, TXs, TYs)
-            L_S = linalg.cholesky(S)
-            off = linalg.solve_lower(L_S, bk.Bmat)        # [B,P,N]
-            L_Ss.append(L_S)
-            offs.append(off)
-            Q = mp.add(Q, mp.sum_(linalg.matmul(off.mT, off), axis=0))
+            ssol = linalg.PosdefSolver(S, cfg.factor_limbs)
+            V = ssol.solve(bk.Bmat, cfg.n_refine)          # S^{-1} B [B,P,N]
+            S_solvers.append(ssol)
+            SinvBs.append(V)
+            # Q = sum_blocks B^T S^{-1} B (initialize_Q_group.cxx:31-67)
+            Q = mp.add(Q, mp.sum_(linalg.matmul(bk.Bmat.mT, V), axis=0))
         Q = _psum_mp(Q, axis)          # the synchronize_Q reduce (cxx:23-186)
-        L_Q = linalg.cholesky(Q)
+        Q = linalg.symmetrize(Q)
+        Q_solver = linalg.PosdefSolver(Q, cfg.factor_limbs)
 
         # ---- mu = Tr(XY)/total_psd_rows (step.cxx:96-104)
         trXY = None
@@ -473,7 +498,7 @@ def make_iteration(cfg: StepConfig):
                     R = mp.add(R, MP(bmu.limbs[:, None, None] * eye))
                     # Z = Symmetrize(X^{-1}(P Y - R))
                     Z = mp.sub(linalg.matmul(primal_residues[i][ip], Y), R)
-                    Z = linalg.cholesky_solve(X_chols[i][ip], Z)
+                    Z = X_solvers[i][ip].solve(Z, cfg.n_refine)
                     Z = linalg.symmetrize(Z)
                     Rs.append(R)
                     Zs.append(Z)
@@ -482,19 +507,19 @@ def make_iteration(cfg: StepConfig):
                 trAZ = _trace_Ap(bk, Zs)
                 dxs.append(MP(-mp.add(dual_residues[i], trAZ).limbs))
 
-            # solve {{S,-B},{B^T,0}} (solve_schur_complement_equation.cxx)
-            vs = []
+            # solve {{S,-B},{B^T,0}} (solve_schur_complement_equation.cxx):
+            # u = S^{-1} rhs;  dy = Q^{-1}(p - B^T u);  dx = u + (S^{-1}B) dy
+            us = []
             dy_local = mp.zeros((sdp.dual_dim,), K, dtype)
             for i, bk in enumerate(sdp.buckets):
-                v = linalg.solve_lower(L_Ss[i], MP(dxs[i].limbs[..., None]))
-                vs.append(v)
-                t = linalg.matmul(offs[i].mT, v)[..., 0]       # [B,N]
+                u = S_solvers[i].solve(MP(dxs[i].limbs[..., None]), cfg.n_refine)
+                us.append(u)
+                t = linalg.matmul(bk.Bmat.mT, u)[..., 0]       # [B,N]
                 dy_local = mp.add(dy_local, mp.sum_(t, axis=0))
             dy = mp.sub(primal_residue_p, _psum_mp(dy_local, axis))
-            dy = linalg.cholesky_solve(L_Q, MP(dy.limbs[..., None]))[..., 0]
+            dy = Q_solver.solve(MP(dy.limbs[..., None]), cfg.n_refine)[..., 0]
             for i, bk in enumerate(sdp.buckets):
-                v = mp.add(vs[i], linalg.matmul(offs[i], MP(dy.limbs[..., None])))
-                dx = linalg.solve_lower_T(L_Ss[i], v)[..., 0]
+                dx = mp.add(us[i], linalg.matmul(SinvBs[i], MP(dy.limbs[..., None])))[..., 0]
                 dx = _row_mask_mp(dx, bk.row_mask)
                 dxs[i] = dx
 
@@ -509,7 +534,7 @@ def make_iteration(cfg: StepConfig):
                     dX = mp.add(Adx[ip], primal_residues[i][ip])
                     dX = _mask_psd(dX, oms[ip])
                     dY = mp.sub(linalg.matmul(dX, Ys[ip]), Rs_all[i][ip])
-                    dY = linalg.cholesky_solve(X_chols[i][ip], dY)
+                    dY = X_solvers[i][ip].solve(dY, cfg.n_refine)
                     dY = MP(-linalg.symmetrize(dY).limbs)
                     dY = _mask_psd(dY, oms[ip])
                     bdX.append(dX)
@@ -535,8 +560,8 @@ def make_iteration(cfg: StepConfig):
         # ---- step lengths (step.cxx:129-144)
         lam_p, lam_d = None, None
         for i, (bk, bs) in enumerate(zip(sdp.buckets, state.buckets)):
-            lp = _step_length_lambda(X_chols[i], dXs[i], bk.mask, axis)
-            ld = _step_length_lambda(Y_chols[i], dYs[i], bk.mask, axis)
+            lp = _step_length_lambda(X_solvers[i], dXs[i], bk.mask, axis)
+            ld = _step_length_lambda(Y_solvers[i], dYs[i], bk.mask, axis)
             lam_p = lp if lam_p is None else jnp.minimum(lam_p, lp)
             lam_d = ld if lam_d is None else jnp.minimum(lam_d, ld)
         lam_p = _pmin(lam_p, axis)
