@@ -243,14 +243,23 @@ class PosdefSolver:
         return self._row_scale(u)
 
     def solve(self, B: MP, n_refine: int) -> MP:
-        """A^{-1} B at B's full precision via iterative refinement."""
+        """A^{-1} B at B's full precision via iterative refinement.
+
+        The refinement runs as a fori_loop so its body (a full-K matmul +
+        one low-precision solve) is traced once per call site regardless
+        of the pass count — unrolling would multiply the XLA graph by
+        n_refine."""
         K = B.K
-        x = mp.round_to(self.solve_lo(mp.round_to(B, self.Kf)), K)
-        for _ in range(n_refine):
+        x0 = mp.round_to(self.solve_lo(mp.round_to(B, self.Kf)), K)
+        if n_refine == 0:
+            return x0
+
+        def body(_, x):
             r = mp.sub(B, matmul(self.A, x))
             dx = self.solve_lo(mp.round_to(r, self.Kf))
-            x = mp.add(x, mp.round_to(dx, K))
-        return x
+            return mp.add(x, mp.round_to(dx, K))
+
+        return jax.lax.fori_loop(0, n_refine, body, x0)
 
 
 # ---------------------------------------------------------------------------
