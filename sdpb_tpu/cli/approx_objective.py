@@ -1,0 +1,99 @@
+"""`approx_objective` executable: linear/quadratic objective of perturbed
+SDPs from one solved SDP (/root/reference/src/approx_objective/main.cxx).
+
+    approx_objective --sdp sdp.zip --newSdp new.zip --precision 400
+                     [--solutionDir sdp_out] [--linear]
+
+Requires the solution written with --writeSolution=x,y,X,Y (the X/Y state
+rebuilds the frozen Schur solver).  Prints a JSON array of
+{path, objective, d_objective, dd_objective}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import mpmath
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="approx_objective")
+    p.add_argument("--sdp", required=True)
+    p.add_argument("--newSdp", required=True,
+                   help="Perturbed SDP (zip/dir), or .nsv list of them")
+    p.add_argument("--precision", type=int, required=True)
+    p.add_argument("--solutionDir", default=None,
+                   help="Default: sdp path with '_out' appended")
+    p.add_argument("--linear", action="store_true",
+                   help="Only compute the linear approximation")
+    p.add_argument("--procsPerNode", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from .common import setup_backend
+
+    # postprocessing-scale work; f64 limbs keep high --precision practical
+    setup_backend(force_cpu=True)
+    import jax
+
+    from ..io.sdp_zip import read_sdp
+    from ..models.sdp import build_device_sdp
+    from ..solver.checkpoint import load_text_checkpoint
+    from ..tools.approx_objective import make_approx_fn, sdp_delta_buckets
+    from ..utils.platform import default_base_dtype, limbs_for_precision
+    from ..utils.strings import limbs_to_mpf
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = default_base_dtype()
+    np_dtype = np.float32 if dtype == jnp.float32 else np.float64
+    K = limbs_for_precision(args.precision, dtype)
+    base = args.sdp[:-4] if args.sdp.endswith(".zip") else args.sdp
+    solution_dir = Path(args.solutionDir or (base + "_out"))
+
+    host_old = read_sdp(args.sdp, K, np_dtype)
+    sdp = build_device_sdp(host_old)
+    state = load_text_checkpoint(solution_dir, sdp, verbosity=0)
+
+    # the frozen Schur solver factors S at the SOLVED point, where
+    # cond(S) ~ 1/gap^2 is maximal — use full factor precision
+    factor_limbs = K
+    n_refine = 1
+    fn = jax.jit(make_approx_fn(factor_limbs, n_refine),
+                 static_argnames=("quadratic",))
+
+    new_paths = [args.newSdp]
+    if args.newSdp.endswith(".nsv"):
+        from ..convert.pmp import read_nsv_paths
+
+        new_paths = [str(s) for s in read_nsv_paths(args.newSdp)]
+
+    ndigits = int(args.precision * 0.30103) + 1
+
+    def s(limbs):
+        return mpmath.nstr(limbs_to_mpf(np.asarray(limbs)), ndigits,
+                           strip_zeros=False, min_fixed=1, max_fixed=0)
+
+    results = []
+    for path in new_paths:
+        host_new = read_sdp(path, K, np_dtype)
+        d_cs, d_Bs = sdp_delta_buckets(sdp, host_old, host_new, K, np_dtype)
+        from ..ops.mpfloat import MP
+
+        d_const = MP(jnp.asarray(host_new.objective_const - host_old.objective_const))
+        d_b = MP(jnp.asarray(host_new.b - host_old.b))
+        total, d_obj, dd_obj = fn(sdp, state, d_const, d_b, d_cs, d_Bs,
+                                  quadratic=not args.linear)
+        results.append({
+            "path": str(path),
+            "objective": s(total),
+            "d_objective": s(d_obj),
+            "dd_objective": s(dd_obj),
+        })
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,33 +86,38 @@ def run_solver(
 
     if mesh is not None and axis is None:
         axis = mesh.axis_names[0]
-    # mixed-precision scheme: factor at ~half the target limbs (the factor
-    # must out-range the IPM's worst conditioning ~max(Omega^2, 1/gap), and
-    # users size --precision to that same quantity, so K/2 + 1 limbs track
-    # it); refinement passes recover the full K limbs, one extra pass as
-    # margin.  Validated on the toy SDP at Omega=1e20 to gap 1e-25 (K=4,
-    # factor 3, 2 passes: 152 iterations, oracle to 24 digits).
+    # mixed-precision scheme: factor at ~half the target limbs (refinement
+    # passes recover the full K limbs).  The factor must out-range the
+    # IPM's worst conditioning — roughly max(Omega^2, 1/gap^2) along the
+    # trajectory — which is problem-dependent, so the run loop SELF-HEALS:
+    # any NaN in the per-iteration stats bumps factor_limbs by one (up to
+    # K), recompiles, and retries from the last good state.
     factor_limbs = max(2, (K + 2) // 2)
-    n_refine = 0 if K <= factor_limbs else (-(-K // factor_limbs) - 1) + 1
-    cfg = StepConfig(
-        total_psd_rows=sdp.total_psd_rows,
-        axis=axis if mesh is not None else None,
-        factor_limbs=factor_limbs,
-        n_refine=n_refine,
-        gamma=float(mpmath.mpf(params.step_length_reduction)),
-        feasible_beta_limbs=str_to_limbs(params.feasible_centering_parameter, K, npdt),
-        infeasible_beta_limbs=str_to_limbs(params.infeasible_centering_parameter, K, npdt),
-        primal_error_threshold=float(mpmath.mpf(params.primal_error_threshold)),
-        dual_error_threshold=float(mpmath.mpf(params.dual_error_threshold)),
-        max_complementarity=float(mpmath.mpf(params.max_complementarity)),
-    )
-    with timers.scope("run.initialize"):
+
+    def make_cfg(kf: int) -> StepConfig:
+        return StepConfig(
+            total_psd_rows=sdp.total_psd_rows,
+            axis=axis if mesh is not None else None,
+            factor_limbs=kf,
+            n_refine=0 if K <= kf else -(-K // kf),
+            gamma=float(mpmath.mpf(params.step_length_reduction)),
+            feasible_beta_limbs=str_to_limbs(params.feasible_centering_parameter, K, npdt),
+            infeasible_beta_limbs=str_to_limbs(params.infeasible_centering_parameter, K, npdt),
+            primal_error_threshold=float(mpmath.mpf(params.primal_error_threshold)),
+            dual_error_threshold=float(mpmath.mpf(params.dual_error_threshold)),
+            max_complementarity=float(mpmath.mpf(params.max_complementarity)),
+        )
+
+    def build_iteration(cfg: StepConfig):
         if mesh is not None:
             from ..parallel.mesh import make_sharded_iteration
 
-            iteration = make_sharded_iteration(sdp, state, cfg, mesh, axis)
-        else:
-            iteration = jax.jit(make_iteration(cfg))
+            return make_sharded_iteration(sdp, state, cfg, mesh, axis)
+        return jax.jit(make_iteration(cfg))
+
+    cfg = make_cfg(factor_limbs)
+    with timers.scope("run.initialize"):
+        iteration = build_iteration(cfg)
 
     gap_threshold = mpmath.mpf(params.duality_gap_threshold)
     primal_thr = mpmath.mpf(params.primal_error_threshold)
@@ -139,6 +144,31 @@ def run_solver(
         with timers.scope("run.iteration"):
             stats, new_state = iteration(sdp, state)
             stats_host = jax.tree.map(np.asarray, stats)
+
+        # self-healing: NaN anywhere in the stats means the low-precision
+        # factors ran out of range for the current conditioning.  The input
+        # state is still finite (its own stats were checked last round), so
+        # bump the factor precision and retry the same state.
+        finite = all(
+            np.all(np.isfinite(getattr(stats_host, name)))
+            for name in ("primal_objective", "dual_objective", "duality_gap",
+                         "mu", "primal_error_P", "primal_error_p",
+                         "dual_error", "primal_step", "dual_step"))
+        if not finite:
+            if factor_limbs >= K:
+                reason = TerminateReason.MaxComplementarityExceeded
+                if verbosity >= 1:
+                    print_fn("non-finite iteration at full factor precision; "
+                             "increase --precision")
+                break
+            factor_limbs += 1
+            if verbosity >= 1:
+                print_fn(f"conditioning exceeded factor range; increasing "
+                         f"factor precision to {factor_limbs} limbs")
+            cfg = make_cfg(factor_limbs)
+            with timers.scope("run.initialize"):
+                iteration = build_iteration(cfg)
+            continue
 
         p_obj = limbs_to_mpf(stats_host.primal_objective)
         d_obj = limbs_to_mpf(stats_host.dual_objective)

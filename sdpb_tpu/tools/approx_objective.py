@@ -1,0 +1,148 @@
+"""approx_objective: objective of a perturbed SDP family from one solved SDP
+(/root/reference/src/approx_objective/).
+
+Linear:    dObj = dconst + db.y + dc.x - x.dB.y
+           (Approx_Objective.cxx:10-52)
+Quadratic: adds (db.dy + dc.dx - dx.dB.y - x.dB.dy)/2 where (dx, dy) solve
+           the frozen Schur system with RHS (dB.y - dc, db - dB^T x)
+           (Approx_Objective.cxx:55-130, compute_dx_dy.cxx).
+
+The frozen Schur solver (S-Cholesky, S^{-1}B, Q) is rebuilt from the saved
+(X, Y) solution state with the same mixed-precision machinery as the IPM
+step (setup_solver.cxx analog).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.sdp import DeviceSDP
+from ..ops import linalg, mpfloat as mp
+from ..ops.mpfloat import MP
+from ..solver.state import SolverState
+from ..solver.step import (_bases, _compute_pairings, _psd_pair,
+                           _row_mask_mp, _schur_complement)
+
+
+def make_approx_fn(factor_limbs: int, n_refine: int):
+    """Build the jitted function
+    (sdp, state, d_const, d_b, d_c_buckets, d_B_buckets, linear_only)
+    -> (objective, d_objective, dd_objective) MP limbs."""
+
+    def approx(sdp: DeviceSDP, state: SolverState, d_const: MP, d_b: MP,
+               d_cs: List[MP], d_Bs: List[MP], quadratic: bool):
+        K = sdp.b.K
+        dtype = sdp.b.dtype
+
+        # objective = b.y + const
+        objective = mp.add(mp.dot(sdp.b, state.y), sdp.objective_const)
+
+        # linear terms
+        d_obj = mp.add(d_const, mp.dot(d_b, state.y))
+        for bk, bs, dc, dB in zip(sdp.buckets, state.buckets, d_cs, d_Bs):
+            xm = _row_mask_mp(bs.x, bk.row_mask)
+            d_obj = mp.add(d_obj, mp.sum_(mp.mul(dc, xm), axis=None))
+            dBy = linalg.matvec(dB, state.y)            # [B, P]
+            d_obj = mp.sub(d_obj, mp.sum_(mp.mul(dBy, xm), axis=None))
+
+        dd_obj = mp.zeros((), K, dtype)
+        if quadratic:
+            # rebuild the frozen Schur solver from (X, Y)
+            X_solvers = []
+            for bk, bs in zip(sdp.buckets, state.buckets):
+                Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
+                X_solvers.append(
+                    [linalg.PosdefSolver(X, factor_limbs) for X in Xs])
+            S_solvers, SinvBs = [], []
+            Q = mp.zeros((sdp.dual_dim, sdp.dual_dim), K, dtype)
+            for bk, bs, xsols in zip(sdp.buckets, state.buckets, X_solvers):
+                Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
+                TXs, TYs = _compute_pairings(bk, xsols, Ys, n_refine)
+                S = _schur_complement(bk, TXs, TYs)
+                ssol = linalg.PosdefSolver(S, factor_limbs)
+                V = ssol.solve(bk.Bmat, n_refine)
+                S_solvers.append(ssol)
+                SinvBs.append(V)
+                Q = mp.add(Q, mp.sum_(linalg.matmul(bk.Bmat.mT, V), axis=0))
+            Q = linalg.symmetrize(Q)
+            Q_solver = linalg.PosdefSolver(Q, factor_limbs)
+
+            # RHS: dx_rhs = dB.y - dc ; dy_rhs = db - sum dB^T x
+            dx_rhss = []
+            dy_rhs = d_b
+            for bk, bs, dc, dB in zip(sdp.buckets, state.buckets, d_cs, d_Bs):
+                rhs = mp.sub(linalg.matvec(dB, state.y), dc)
+                dx_rhss.append(_row_mask_mp(rhs, bk.row_mask))
+                xm = _row_mask_mp(bs.x, bk.row_mask)
+                t = linalg.matmul(dB.mT, MP(xm.limbs[..., None]))[..., 0]
+                dy_rhs = mp.sub(dy_rhs, mp.sum_(t, axis=0))
+
+            # solve {{S,-B},{B^T,0}}
+            us = []
+            t_sum = mp.zeros((sdp.dual_dim,), K, dtype)
+            for i, bk in enumerate(sdp.buckets):
+                u = S_solvers[i].solve(MP(dx_rhss[i].limbs[..., None]), n_refine)
+                us.append(u)
+                t_sum = mp.add(t_sum, mp.sum_(
+                    linalg.matmul(bk.Bmat.mT, u)[..., 0], axis=0))
+            dy = Q_solver.solve(
+                MP(mp.sub(dy_rhs, t_sum).limbs[..., None]), n_refine)[..., 0]
+            dxs = []
+            for i, bk in enumerate(sdp.buckets):
+                dx = mp.add(us[i], linalg.matmul(
+                    SinvBs[i], MP(dy.limbs[..., None])))[..., 0]
+                dxs.append(_row_mask_mp(dx, bk.row_mask))
+
+            # quadratic terms
+            half = mp.from_double(np.float64(0.5), K, dtype)
+            dd_obj = mp.mul(mp.dot(d_b, dy), half)
+            for bk, bs, dc, dB, dx in zip(sdp.buckets, state.buckets, d_cs,
+                                          d_Bs, dxs):
+                xm = _row_mask_mp(bs.x, bk.row_mask)
+                dd_obj = mp.add(dd_obj, mp.mul(
+                    mp.sum_(mp.mul(dc, dx), axis=None), half))
+                dBy = linalg.matvec(dB, state.y)
+                dd_obj = mp.sub(dd_obj, mp.mul(
+                    mp.sum_(mp.mul(dBy, dx), axis=None), half))
+                dBdy = linalg.matvec(dB, dy)
+                dd_obj = mp.sub(dd_obj, mp.mul(
+                    mp.sum_(mp.mul(dBdy, xm), axis=None), half))
+
+        total = mp.add(mp.add(objective, d_obj), dd_obj)
+        return total.limbs, d_obj.limbs, dd_obj.limbs
+
+    return approx
+
+
+def sdp_delta_buckets(sdp_dev: DeviceSDP, host_old, host_new, K, np_dtype):
+    """d_c/d_B bucketed like sdp_dev (the Axpy(-1, old, new) analog,
+    approx_objective/Axpy.cxx).  Requires identical block structure."""
+    old_by_index = {b.index: b for b in host_old.blocks}
+    new_by_index = {b.index: b for b in host_new.blocks}
+    d_cs, d_Bs = [], []
+    for bk in sdp_dev.buckets:
+        sh = bk.shape
+        B = bk.batch
+        N = sdp_dev.dual_dim
+        dc = np.zeros((K, B, sh.schur_size), dtype=np_dtype)
+        dB = np.zeros((K, B, sh.schur_size, N), dtype=np_dtype)
+        for i, rs in enumerate(bk.real_sizes):
+            if rs.block_index < 0:
+                continue
+            ob = old_by_index[rs.block_index]
+            nb = new_by_index[rs.block_index]
+            if ob.B.shape != nb.B.shape:
+                raise ValueError(
+                    f"block {rs.block_index}: shapes differ between sdp "
+                    f"and newSdp ({ob.B.shape} vs {nb.B.shape})")
+            n_pairs = sh.n_pairs
+            dc_r = (nb.c - ob.c).reshape(K, n_pairs, rs.num_points)
+            dc[:, i].reshape(K, n_pairs, sh.num_points)[:, :, :rs.num_points] = dc_r
+            dB_r = (nb.B - ob.B).reshape(K, n_pairs, rs.num_points, N)
+            dB[:, i].reshape(K, n_pairs, sh.num_points, N)[:, :, :rs.num_points] = dB_r
+        d_cs.append(MP(jnp.asarray(dc)))
+        d_Bs.append(MP(jnp.asarray(dB)))
+    return d_cs, d_Bs

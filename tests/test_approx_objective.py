@@ -1,0 +1,95 @@
+"""approx_objective: the quadratic approximation of a perturbed SDP's
+objective must match a true re-solve to the solve accuracy (the reference
+validates the same way; approx_objective.test.cxx)."""
+import json
+import os
+
+import mpmath
+import numpy as np
+import pytest
+
+TOY = "/root/reference/test/data/sdp.zip"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(TOY), reason="no reference data")
+def test_approx_objective_quadratic(tmp_path):
+    import copy
+
+    from sdpb_tpu.cli.approx_objective import main as approx_main
+    from sdpb_tpu.io.sdp_zip import read_sdp, write_sdp
+    from sdpb_tpu.io.solution import WriteSolution, save_solution
+    from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import run_solver
+
+    K = 3
+    host = read_sdp(TOY, K, np.float64)
+    sdp = build_device_sdp(host)
+    params = SolverParameters(
+        precision=150, duality_gap_threshold="1e-20",
+        primal_error_threshold="1e-20", dual_error_threshold="1e-20",
+        initial_matrix_scale_primal="1e4", initial_matrix_scale_dual="1e4",
+        max_iterations=300)
+    res = run_solver(sdp, params, verbosity=0)
+    out_dir = tmp_path / "out"
+    save_solution(out_dir, res, sdp, WriteSolution(True, True, True, True),
+                  verbosity=0)
+    old_zip = tmp_path / "old.zip"
+    write_sdp(old_zip, host, block_format="json")
+
+    host2 = copy.deepcopy(host)
+    host2.b = host.b * (1 + 1e-6)
+    new_zip = tmp_path / "new.zip"
+    write_sdp(new_zip, host2, block_format="json")
+
+    sdp2 = build_device_sdp(read_sdp(new_zip, K, np.float64))
+    res2 = run_solver(sdp2, params, verbosity=0)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = approx_main(["--sdp", str(old_zip), "--newSdp", str(new_zip),
+                          "--precision", "150", "--solutionDir", str(out_dir)])
+    assert rc == 0
+    result = json.loads(buf.getvalue())[0]
+    with mpmath.workprec(250):
+        err = abs(mpmath.mpf(result["objective"]) - res2.dual_objective)
+        # quadratic approx of a 1e-6 perturbation: error ~ solve accuracy
+        assert err < mpmath.mpf("1e-17"), result["objective"]
+        # the quadratic term itself is nonzero and small
+        dd = abs(mpmath.mpf(result["dd_objective"]))
+        assert mpmath.mpf(0) < dd < mpmath.mpf("1e-9")
+
+
+def test_planner_block_grid_mapping():
+    """Worst-Fit-First bin packing invariants (compute_block_grid_mapping)."""
+    from sdpb_tpu.parallel.planner import compute_block_grid_mapping
+
+    costs = sorted(((c, i) for i, c in enumerate(
+        [100, 50, 30, 20, 10, 5, 5, 5])), reverse=True)
+    mapping = compute_block_grid_mapping(4, 2, costs)
+    assert len(mapping) == 2
+    all_blocks = sorted(i for node in mapping for m in node
+                        for i in m.block_indices)
+    assert all_blocks == list(range(8))
+    total_procs = sum(m.num_procs for node in mapping for m in node)
+    assert total_procs == 8
+    for node in mapping:
+        for m in node:
+            # num_procs > 1 and multiple blocks are mutually exclusive
+            assert not (m.num_procs > 1 and len(m.block_indices) > 1)
+
+
+def test_planner_lpt_order():
+    from sdpb_tpu.parallel.planner import plan_block_order
+
+    costs = [100, 1, 1, 1, 50, 50, 2, 2]
+    order = plan_block_order(costs, 4)
+    assert sorted(order) == list(range(8))
+    chunks = [order[i * 2:(i + 1) * 2] for i in range(4)]
+    loads = [sum(costs[i] for i in ch) for ch in chunks]
+    # the big block is alone-ish; no chunk has two of the three big blocks
+    assert max(loads) <= 101
