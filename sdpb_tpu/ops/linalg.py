@@ -32,11 +32,17 @@ from .mpfloat import MP
 def matmul(a: MP, b: MP, chunk: int = 128) -> MP:
     """a @ b with full MP precision: a [..., M, Kd], b [..., Kd, N].
 
-    Elementwise MP products tree-reduced over the contraction axis, chunked
-    to bound the [..., M, chunk, N] intermediate.
+    On TPU, batched float32 operands that fit VMEM go through the Pallas
+    kernel (accumulator resident on-chip; see ops.pallas_kernels).  The
+    XLA fallback computes elementwise MP products tree-reduced over the
+    contraction axis, chunked to bound the [..., M, chunk, N] intermediate.
     """
     Kd = a.shape[-1]
     assert b.shape[-2] == Kd, (a.shape, b.shape)
+    from . import pallas_kernels as pk
+
+    if pk.pallas_matmul_viable(a, b):
+        return pk.mp_matmul(a, b)
     if Kd <= chunk:
         terms = mp.mul(MP(a.limbs[..., :, :, None]), MP(b.limbs[..., None, :, :]))
         return mp.sum_(terms, axis=terms.ndim - 2)
