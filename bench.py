@@ -1,17 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: IPM iterations/s on the reference toy SDP (single chip).
+"""Benchmark: IPM iterations/s on an nmax6-class workload (single chip).
 
 Runs the full jitted predictor-corrector iteration (the solver hot loop —
 everything in /root/reference/src/sdp_solve/SDP_Solver/run/run.cxx:113-183)
-on the shipped toy problem at ~115-bit working precision and reports
-steady-state iterations/s, excluding compilation.
+on a synthetic problem with the shape profile of the reference's
+SingletScalar_cT_test_nmax6 CI fixture and reports steady-state
+iterations/s, excluding compilation.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "iterations/s", "vs_baseline": N}
 
-vs_baseline: ratio to BASELINE.json published["toy_ipm_iterations_per_s"]
-when present (reference numbers are not published in-tree; see BASELINE.md),
-else 1.0.
+vs_baseline: ratio to the reference's CI anchor for the real fixture
+(39 s solve on 6 ranks at 768 bits; see BASELINE.md).  NOTE the precision
+asymmetry — this bench runs K=2 float32 limbs (~48 bits) for compile-time
+reasons; the metric label carries the precision so rounds stay comparable.
 """
 import json
 import os
@@ -54,13 +56,12 @@ def main():
     # change the measured loop cost structure.
     K = 2
 
-    if os.path.exists(REFERENCE_SDP):
-        host = read_sdp(REFERENCE_SDP, K, np_dtype)
-        workload = "toy sdp.zip"
-    else:
-        host = random_sdp(num_blocks=1, dim=1, num_points=5, dual_dim=1,
-                          K=K, np_dtype=np_dtype)
-        workload = "synthetic toy"
+    # nmax6-class workload: the shape profile of the reference's
+    # SingletScalar_cT_test_nmax6 fixture (11 blocks, num_points up to 31,
+    # dual dimension 20) — big enough to exercise the Pallas matmul path.
+    host = random_sdp(num_blocks=11, dim=1, num_points=31, dual_dim=20,
+                      K=K, np_dtype=np_dtype)
+    workload = "nmax6-class synthetic (11 blocks, np=31, N=20)"
 
     sdp = build_device_sdp(host)
     omega = str_to_limbs("1e2", K, np_dtype)
@@ -91,12 +92,15 @@ def main():
     elapsed = time.time() - t0
     its_per_s = n / elapsed
 
+    # reference anchor: SDPB's CI solves the real nmax6 fixture in 39 s /
+    # ~110 iterations on 6 ranks at 768 bits (BASELINE.md) ~= 2.8 it/s.
     baseline = None
     try:
         with open(os.path.join(REPO, "BASELINE.json")) as f:
-            baseline = json.load(f).get("published", {}).get("toy_ipm_iterations_per_s")
+            baseline = json.load(f).get("published", {}).get(
+                "nmax6_ipm_iterations_per_s", 2.8)
     except Exception:
-        pass
+        baseline = 2.8
     vs_baseline = (its_per_s / baseline) if baseline else 1.0
 
     print(json.dumps({
@@ -105,6 +109,7 @@ def main():
         "unit": "iterations/s",
         "vs_baseline": round(vs_baseline, 3),
         "compile_s": round(compile_s, 1),
+        "baseline_note": "SDPB CI: real nmax6 fixture in 39 s on 6 ranks at 768 bits (~110 iters, estimated)",
     }))
 
 
