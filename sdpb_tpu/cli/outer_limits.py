@@ -67,7 +67,7 @@ def main(argv=None) -> int:
             duality_gap_reduction=mpmath.mpf(args.dualityGapReduction),
             mesh_threshold=mpmath.mpf(args.meshThreshold),
             use_svd=str(args.useSVD).lower() in ("1", "true", "yes"),
-            verbosity=args.verbosity)
+            verbosity=args.verbosity, checkpoint_dir=args.checkpointDir)
 
         optimal = mpmath.fsum(o * w for o, w in zip(objectives, weights))
         ndigits = int(params.precision * 0.30103) + 1

@@ -177,10 +177,84 @@ def _build_sdp_data(objective_const, b_star, c_list, fv_list, dims,
         b=limbs(b_star, (N,)), blocks=blocks)
 
 
+def save_outer_checkpoint(directory, generation, threshold, c_scale, yp,
+                          points, infinity, yp_to_y, b_star, verbosity=1,
+                          print_fn=print) -> int:
+    """checkpoint_<gen>.json.gz of the outer state (save_checkpoint.cxx:
+    18-130): generation/threshold/c_scale/yp/points (with 'inf' sentinel)/
+    y_transform/b.  Keeps current + one backup generation."""
+    import gzip
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    gens = sorted(int(p.name[len("checkpoint_"):-len(".json.gz")])
+                  for p in directory.glob("checkpoint_*.json.gz"))
+    new_gen = (gens[-1] + 1) if gens else generation
+    N = len(yp)
+
+    def s(v):
+        return mpmath.nstr(v, int(mpmath.mp.prec * 0.30103) + 1,
+                           strip_zeros=False, min_fixed=1, max_fixed=0)
+
+    doc = {
+        "generation": str(new_gen),
+        "threshold": s(threshold),
+        "c_scale": s(c_scale),
+        "yp": [s(v) for v in yp],
+        "points": [[("inf" if p == infinity else s(p)) for p in sorted(blk)]
+                   for blk in points],
+        "y_transform": [[s(yp_to_y[i, j]) for j in range(N)] for i in range(N)],
+        "b": [s(v) for v in b_star],
+    }
+    path = directory / f"checkpoint_{new_gen}.json.gz"
+    if verbosity >= 1:
+        print_fn(f"Saving checkpoint to    : {directory}")
+    with gzip.open(path, "wt", compresslevel=0) as f:
+        json.dump(doc, f, indent=1)
+    # keep current + backup only
+    for g in gens[:-1]:
+        (directory / f"checkpoint_{g}.json.gz").unlink(missing_ok=True)
+    return new_gen
+
+
+def load_outer_checkpoint(directory, infinity, verbosity=1, print_fn=print):
+    """Newest checkpoint_<gen>.json.gz -> dict or None
+    (load_checkpoint.cxx)."""
+    import gzip
+
+    directory = Path(directory)
+    if not directory.is_dir():
+        return None
+    gens = sorted(int(p.name[len("checkpoint_"):-len(".json.gz")])
+                  for p in directory.glob("checkpoint_*.json.gz"))
+    if not gens:
+        return None
+    path = directory / f"checkpoint_{gens[-1]}.json.gz"
+    if verbosity >= 1:
+        print_fn(f"Loading checkpoint from : {path}")
+    with gzip.open(path, "rt") as f:
+        doc = json.load(f)
+    N = len(doc["yp"])
+    yp_to_y = mpmath.matrix(N, N)
+    for i in range(N):
+        for j in range(N):
+            yp_to_y[i, j] = mpmath.mpf(doc["y_transform"][i][j])
+    return {
+        "generation": int(doc["generation"]),
+        "threshold": mpmath.mpf(doc["threshold"]),
+        "c_scale": mpmath.mpf(doc["c_scale"]),
+        "yp": [mpmath.mpf(v) for v in doc["yp"]],
+        "points": [set(infinity if v == "inf" else mpmath.mpf(v)
+                       for v in blk) for blk in doc["points"]],
+        "yp_to_y": yp_to_y,
+        "b_star": [mpmath.mpf(v) for v in doc["b"]],
+    }
+
+
 def compute_optimal(function_blocks, initial_points, objectives,
                     normalization, solver_params, duality_gap_reduction,
                     mesh_threshold, use_svd: bool = True, verbosity: int = 1,
-                    print_fn=print):
+                    checkpoint_dir=None, print_fn=print):
     """-> (weights, y) optimal functional weights
     (compute_optimal.cxx:58-345)."""
     import jax.numpy as jnp
@@ -207,17 +281,37 @@ def compute_optimal(function_blocks, initial_points, objectives,
               for b in range(num_blocks)]
     new_points = [[] for _ in range(num_blocks)]
 
-    # y transform from the initial point set
-    c_list, fv_list = setup_constraints(max_index, function_blocks,
-                                        normalization, points, epsilon, infinity)
-    yp_to_y, b_star, primal_c_scale = compute_y_transform(
-        c_list, fv_list, dual_objective_b, use_svd)
-
     target_gap = mpmath.mpf(solver_params.duality_gap_threshold)
     current_gap = mpmath.mpf("1.1")
     yp_saved = [mpmath.mpf(0)] * N
+
+    ck = (load_outer_checkpoint(checkpoint_dir, infinity, verbosity, print_fn)
+          if checkpoint_dir else None)
+    if ck is not None:
+        yp_to_y = ck["yp_to_y"]
+        b_star = ck["b_star"]
+        primal_c_scale = ck["c_scale"]
+        yp_saved = ck["yp"]
+        points = ck["points"]
+        current_gap = ck["threshold"]
+    else:
+        # y transform from the initial point set
+        c_list, fv_list = setup_constraints(max_index, function_blocks,
+                                            normalization, points, epsilon, infinity)
+        yp_to_y, b_star, primal_c_scale = compute_y_transform(
+            c_list, fv_list, dual_objective_b, use_svd)
+
     weights = None
     y = None
+
+    def weights_from_yp(yp):
+        y_ = [sum(yp_to_y[i, j] * yp[j] for j in range(N)) for i in range(N)]
+        return fill_weights(y_, max_index, normalization), y_
+
+    if ck is not None and current_gap < target_gap:
+        # checkpoint is already converged: reconstruct and return
+        weights, y = weights_from_yp(yp_saved)
+        return weights, y
 
     import dataclasses
 
@@ -296,6 +390,10 @@ def compute_optimal(function_blocks, initial_points, objectives,
             else:
                 break  # rebuild SDP with the new points
         yp_saved = _y_host(result.state)
+        if checkpoint_dir:
+            save_outer_checkpoint(checkpoint_dir, 0, current_gap,
+                                  primal_c_scale, yp_saved, points, infinity,
+                                  yp_to_y, b_star, verbosity, print_fn)
     return weights, y
 
 
