@@ -22,6 +22,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the jitted iteration takes minutes to build
+# at higher limb counts; identical test configs reuse compiled artifacts
+# across runs
+_cache = os.environ.get("SDPB_TPU_CACHE",
+                        os.path.expanduser("~/.cache/sdpb_tpu/xla"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end tests")
 

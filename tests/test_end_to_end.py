@@ -1,0 +1,43 @@
+"""End-to-end oracle: the reference's SingletScalar_cT_test_nmax6 CI
+fixture (realistic nmax=6 bootstrap SDP, 11 blocks, N=20).
+
+The reference solves it at 768 bits to gap 9e-31
+(test/data/end-to-end_tests/.../out/out.txt); here we run 212 bits
+(K=4 f64) at Omega=1e10 to gap 1e-12, which its published objective must
+match to ~12 digits.  ~35 min on this machine's single CPU core -> slow."""
+import os
+
+import mpmath
+import numpy as np
+import pytest
+
+FIXTURE = ("/root/reference/test/data/end-to-end_tests/"
+           "SingletScalar_cT_test_nmax6/primal_dual_optimal/sdp.orig.zip")
+ORACLE = mpmath.mpf("-0.283884666328349913107791200043437245362902095745491")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="no reference data")
+def test_singlet_scalar_nmax6():
+    from sdpb_tpu.io.sdp_zip import read_sdp
+    from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import TerminateReason, run_solver
+
+    K = 4
+    host = read_sdp(FIXTURE, K, np.float64)
+    assert host.num_blocks == 11 and host.dual_dim == 20
+    sdp = build_device_sdp(host)
+    params = SolverParameters(
+        precision=212,
+        duality_gap_threshold="1e-12",
+        primal_error_threshold="1e-12", dual_error_threshold="1e-12",
+        initial_matrix_scale_primal="1e10", initial_matrix_scale_dual="1e10",
+        max_iterations=300)
+    res = run_solver(sdp, params, verbosity=0)
+    assert res.terminate_reason == TerminateReason.PrimalDualOptimal, (
+        res.terminate_reason, res.iterations)
+    with mpmath.workprec(300):
+        assert abs(res.primal_objective - ORACLE) < mpmath.mpf("1e-11"), \
+            mpmath.nstr(res.primal_objective, 20)
+        assert abs(res.dual_objective - ORACLE) < mpmath.mpf("1e-11")
