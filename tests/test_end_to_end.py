@@ -41,3 +41,38 @@ def test_singlet_scalar_nmax6():
         assert abs(res.primal_objective - ORACLE) < mpmath.mpf("1e-11"), \
             mpmath.nstr(res.primal_objective, 20)
         assert abs(res.dual_objective - ORACLE) < mpmath.mpf("1e-11")
+
+
+JUMP_FIXTURE = ("/root/reference/test/data/end-to-end_tests/"
+                "SingletScalarAllowed_test_nmax6/dual_feasible_jump/"
+                "sdp.orig.zip")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(JUMP_FIXTURE), reason="no reference data")
+def test_singlet_scalar_allowed_dual_feasible_jump():
+    """The reference's feasible-jump fixture: with --detectDualFeasibleJump
+    the solve must terminate 'dual feasible jump detected' when a dual step
+    hits 1, at the published objective (oracle out/out.txt; the reference
+    test config is end-to-end.test.cxx:159-167).  ~8 min single-core."""
+    from sdpb_tpu.io.sdp_zip import read_sdp
+    from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import TerminateReason, run_solver
+
+    K = 4
+    host = read_sdp(JUMP_FIXTURE, K, np.float64)
+    sdp = build_device_sdp(host)
+    params = SolverParameters(
+        precision=212,
+        duality_gap_threshold="1e-30",
+        primal_error_threshold="1e-200", dual_error_threshold="1e-200",
+        initial_matrix_scale_primal="1e20", initial_matrix_scale_dual="1e20",
+        detect_primal_feasible_jump=True, detect_dual_feasible_jump=True,
+        max_iterations=200)
+    res = run_solver(sdp, params, verbosity=0)
+    assert res.terminate_reason == TerminateReason.DualFeasibleJumpDetected, (
+        res.terminate_reason, res.iterations)
+    with mpmath.workprec(200):
+        oracle = mpmath.mpf("-8840353.8076005652934424333782332173811931")
+        assert abs(res.primal_objective - oracle) < mpmath.mpf("1e-6")
