@@ -177,6 +177,11 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
         num_points / h).  Compile time scales with the number of bands, not
         with the number of distinct shapes.
       * "exact": one bucket per exact shape (no element padding).
+
+    When pad_to > 1 (a device mesh), each bucket's blocks are LPT-ordered
+    by the reference's RAM-cost heuristic so shard_map's contiguous batch
+    split balances total cost per device (the block_timings load-balancer
+    analog; parallel/planner.py).
     """
     K = sdp.b.shape[0]
     dtype = jnp.asarray(sdp.b).dtype
@@ -197,6 +202,21 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
 
         B = len(blks)
         Bpad = -(-B // pad_to) * pad_to
+        if pad_to > 1:
+            # LPT slot placement: device d owns slots [d*cap, (d+1)*cap) with
+            # its padding inside its own range, so the contiguous shard_map
+            # split sees the planned per-device chunks
+            from ..parallel.planner import (block_cost_heuristic,
+                                            plan_block_slots)
+
+            costs = [block_cost_heuristic(
+                b.dim, b.num_points, b.bases_even.shape[1],
+                b.bases_odd.shape[1], sdp.dual_dim) for b in blks]
+            slots = plan_block_slots(costs, pad_to)
+        else:
+            slots = list(range(B)) + [None] * (Bpad - B)
+        assert len(slots) == Bpad, (len(slots), Bpad)
+        blks = [None if s is None else blks[s] for s in slots]
         N = sdp.dual_dim
         n_pairs = shape.n_pairs
         P = shape.schur_size
@@ -212,6 +232,9 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
         real_sizes = []
 
         for i, blk in enumerate(blks):
+            if blk is None:
+                real_sizes.append(RealSize(-1, np_pad, he_pad, ho_pad))
+                continue
             npr = blk.num_points
             he = blk.bases_even.shape[1]
             ho = blk.bases_odd.shape[1]
@@ -227,8 +250,6 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
             row_mask[i].reshape(n_pairs, np_pad)[:, :npr] = 1.0
             pm_even[i].reshape(dim, he_pad)[:, :he] = 1.0
             pm_odd[i].reshape(dim, ho_pad)[:, :ho] = 1.0
-        for i in range(B, Bpad):
-            real_sizes.append(RealSize(-1, np_pad, he_pad, ho_pad))
 
         emb_even = np.stack(
             [_embed_blockdiag(bases_even[:, i], dim) for i in range(Bpad)], axis=1)

@@ -124,6 +124,27 @@ def block_cost_heuristic(dim: int, num_points: int, h_even: int, h_odd: int,
     return 2 * B_band + 5 * psd + 2 * schur_size ** 2 + 2 * bilinear
 
 
+def plan_block_slots(costs: Sequence[int], n_devices: int):
+    """Slot assignment of length n_devices * ceil(B/n): each device's
+    contiguous slot range holds its LPT-assigned block indices, with None
+    padding filling the shortfall INSIDE the device's range (so shard_map's
+    equal contiguous split sees exactly the planned chunks)."""
+    B = len(costs)
+    cap = -(-B // n_devices)
+    loads = [0] * n_devices
+    chunks: List[List[int]] = [[] for _ in range(n_devices)]
+    for idx in sorted(range(B), key=lambda i: -costs[i]):
+        open_devs = [d for d in range(n_devices) if len(chunks[d]) < cap]
+        d = min(open_devs, key=lambda d_: loads[d_])
+        chunks[d].append(idx)
+        loads[d] += costs[idx]
+    slots: List = []
+    for d in range(n_devices):
+        slots.extend(chunks[d])
+        slots.extend([None] * (cap - len(chunks[d])))
+    return slots
+
+
 def plan_block_order(costs: Sequence[int], n_devices: int) -> List[int]:
     """Permutation of range(len(costs)) such that splitting the permuted
     list into n_devices equal contiguous chunks balances total cost.
