@@ -76,3 +76,37 @@ def test_singlet_scalar_allowed_dual_feasible_jump():
     with mpmath.workprec(200):
         oracle = mpmath.mpf("-8840353.8076005652934424333782332173811931")
         assert abs(res.primal_objective - oracle) < mpmath.mpf("1e-6")
+
+
+PRIMAL_JUMP_FIXTURE = ("/root/reference/test/data/end-to-end_tests/"
+                       "SingletScalarAllowed_test_nmax6/primal_feasible_jump/"
+                       "sdp.orig.zip")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(PRIMAL_JUMP_FIXTURE),
+                    reason="no reference data")
+def test_singlet_scalar_allowed_primal_feasible_jump():
+    """Primal-jump variant: terminates 'primal feasible jump detected' at
+    the published objective (~1e23 scale, matched to 14 digits)."""
+    from sdpb_tpu.io.sdp_zip import read_sdp
+    from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import TerminateReason, run_solver
+
+    K = 4
+    host = read_sdp(PRIMAL_JUMP_FIXTURE, K, np.float64)
+    sdp = build_device_sdp(host)
+    params = SolverParameters(
+        precision=212,
+        duality_gap_threshold="1e-30",
+        primal_error_threshold="1e-200", dual_error_threshold="1e-200",
+        initial_matrix_scale_primal="1e20", initial_matrix_scale_dual="1e20",
+        detect_primal_feasible_jump=True, detect_dual_feasible_jump=True,
+        max_iterations=200)
+    res = run_solver(sdp, params, verbosity=0)
+    assert res.terminate_reason == TerminateReason.PrimalFeasibleJumpDetected, (
+        res.terminate_reason, res.iterations)
+    with mpmath.workprec(200):
+        oracle = mpmath.mpf("-79110084952780525272758.683656979215875949714")
+        assert abs(res.primal_objective - oracle) < abs(oracle) * mpmath.mpf("1e-12")
