@@ -182,3 +182,28 @@ def test_mathematica_parser_fixture():
     assert len(mats[0].damped_rational.poles) == 24
     assert all(p <= 0 for p in mats[0].damped_rational.poles)
     assert len(mats[0].polynomials[0][0]) == 461
+
+
+DFIBO = "/root/reference/test/data/end-to-end_tests/dfibo-0-0-j=3-c=3.0000-d=3-s=6"
+
+
+@pytest.mark.skipif(not os.path.exists(DFIBO), reason="no reference data")
+def test_pvm2sdp_dfibo_golden(tmp_path):
+    """98-block conversion golden: dfibo's pvm.xml must reproduce its
+    shipped sdp.orig.zip bit-for-bit (covers num_points=1 blocks with empty
+    odd bilinear bases — the regression case of end-to-end.test.cxx)."""
+    from sdpb_tpu.cli.pvm2sdp import convert
+    from sdpb_tpu.io.sdp_zip import read_sdp
+
+    out = tmp_path / "dfibo.zip"
+    n = convert([f"{DFIBO}/pvm.xml"], out, 1024, "json")
+    assert n == 98
+    K = 4
+    ours = read_sdp(out, K, np.float64)
+    ref = read_sdp(f"{DFIBO}/sdp.orig.zip", K, np.float64)
+    np.testing.assert_array_equal(ours.b, ref.b)
+    for a, r in zip(ours.blocks, ref.blocks):
+        np.testing.assert_array_equal(a.c, r.c)
+        np.testing.assert_array_equal(a.B, r.B)
+        np.testing.assert_array_equal(a.bases_even, r.bases_even)
+        np.testing.assert_array_equal(a.bases_odd, r.bases_odd)

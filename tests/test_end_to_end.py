@@ -110,3 +110,36 @@ def test_singlet_scalar_allowed_primal_feasible_jump():
     with mpmath.workprec(200):
         oracle = mpmath.mpf("-79110084952780525272758.683656979215875949714")
         assert abs(res.primal_objective - oracle) < abs(oracle) * mpmath.mpf("1e-12")
+
+
+DFIBO_FIXTURE = ("/root/reference/test/data/end-to-end_tests/"
+                 "dfibo-0-0-j=3-c=3.0000-d=3-s=6/sdp.orig.zip")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(DFIBO_FIXTURE), reason="no reference data")
+def test_dfibo_find_primal_feasible():
+    """dfibo (98 blocks incl. num_points=1): --findPrimalFeasible
+    --findDualFeasible must terminate 'found primal feasible solution'
+    (the reference's outcome; the feasible point itself is
+    trajectory/precision dependent, so only the reason is asserted)."""
+    from sdpb_tpu.io.sdp_zip import read_sdp
+    from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import TerminateReason, run_solver
+
+    K = 4
+    host = read_sdp(DFIBO_FIXTURE, K, np.float64)
+    assert host.num_blocks == 98
+    sdp = build_device_sdp(host)
+    assert len(sdp.buckets) == 1  # np=1 and np=4 share a quantized bucket
+    params = SolverParameters(
+        precision=212, find_primal_feasible=True, find_dual_feasible=True,
+        duality_gap_threshold="1e-30", primal_error_threshold="1e-30",
+        dual_error_threshold="1e-30",
+        initial_matrix_scale_primal="1e20", initial_matrix_scale_dual="1e20",
+        max_iterations=300)
+    res = run_solver(sdp, params, verbosity=0)
+    assert res.terminate_reason == TerminateReason.PrimalFeasible, (
+        res.terminate_reason, res.iterations)
+    assert res.primal_error_P < 1e-30
