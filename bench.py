@@ -1,19 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark: IPM iterations/s on an nmax6-class workload (single chip).
+"""Benchmark: IPM iterations/s on a 3D-Ising-class workload (single chip).
 
 Runs the full jitted predictor-corrector iteration (the solver hot loop —
 everything in /root/reference/src/sdp_solve/SDP_Solver/run/run.cxx:113-183)
-on a synthetic problem with the shape profile of the reference's
-SingletScalar_cT_test_nmax6 CI fixture and reports steady-state
-iterations/s, excluding compilation.
+on a synthetic problem at production scale (200 blocks, 48 sample
+points, dual dimension 100 — the 3D-Ising configuration class of
+BASELINE.json) and reports steady-state iterations/s, excluding
+compilation.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "iterations/s", "vs_baseline": N}
 
 vs_baseline: ratio to the reference's CI anchor for the real fixture
-(39 s solve on 6 ranks at 768 bits; see BASELINE.md).  NOTE the precision
-asymmetry — this bench runs K=2 float32 limbs (~48 bits) for compile-time
-reasons; the metric label carries the precision so rounds stay comparable.
+(39 s solve on 6 ranks at 768 bits; see BASELINE.md).  The metric label
+carries the working precision (K=5 f32 limbs ~= 115 bits on TPU) so rounds
+stay comparable.
 """
 import json
 import os
@@ -50,18 +51,17 @@ def main():
 
     dtype = plat.default_base_dtype()
     np_dtype = np.float32 if dtype == jnp.float32 else np.float64
-    # K=2 limbs: double-double (106 bits) on CPU f64, 48 bits on TPU f32.
-    # Higher K inflates XLA compile ~K^2 until the MP primitives are Pallas
-    # kernels; throughput is timed per-iteration so precision does not
-    # change the measured loop cost structure.
-    K = 2
+    # K=5 float32 limbs on TPU ~= 115 bits (the double-double-class
+    # working precision of BASELINE.json); K=2 float64 on CPU (106 bits).
+    # TPU compile at K=5 is ~4 min (scan-deduped iteration + Pallas matmul).
+    K = 5 if np_dtype == np.float32 else 2
 
     # nmax6-class workload: the shape profile of the reference's
     # SingletScalar_cT_test_nmax6 fixture (11 blocks, num_points up to 31,
     # dual dimension 20) — big enough to exercise the Pallas matmul path.
-    host = random_sdp(num_blocks=11, dim=1, num_points=31, dual_dim=20,
+    host = random_sdp(num_blocks=200, dim=1, num_points=48, dual_dim=100,
                       K=K, np_dtype=np_dtype)
-    workload = "nmax6-class synthetic (11 blocks, np=31, N=20)"
+    workload = "3D-Ising-class synthetic (200 blocks, np=48, N=100)"
 
     sdp = build_device_sdp(host)
     omega = str_to_limbs("1e2", K, np_dtype)
@@ -92,8 +92,10 @@ def main():
     elapsed = time.time() - t0
     its_per_s = n / elapsed
 
-    # reference anchor: SDPB's CI solves the real nmax6 fixture in 39 s /
-    # ~110 iterations on 6 ranks at 768 bits (BASELINE.md) ~= 2.8 it/s.
+    # reference anchor: SDPB's CI solves its nmax6 fixture (an ~18x
+    # smaller problem than this workload) in 39 s on 6 CPU ranks at 768
+    # bits ~= 2.8 it/s; kept as the in-tree anchor until a measured
+    # 3D-Ising baseline exists (BASELINE.md).
     baseline = None
     try:
         with open(os.path.join(REPO, "BASELINE.json")) as f:
