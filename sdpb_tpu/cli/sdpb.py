@@ -83,6 +83,10 @@ def main(argv=None) -> int:
         print(f"checkpoint dir  : {ck_dir}")
         print(f"precision       : {params.precision} bits "
               f"({K} x {np_dtype.__name__} limbs)")
+    if np_dtype.__name__ == "float32" and K > 6 and verbosity >= 1:
+        print(f"WARNING: {K} float32 limbs compile slowly and float32's "
+              f"exponent range caps reachable duality gaps near ~1e-12; "
+              f"for --precision > ~140 prefer --platform cpu (float64 limbs)")
 
     timers = Timers()
     with timers.scope("read_sdp"):
