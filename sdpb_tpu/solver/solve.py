@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import enum
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 import jax
@@ -17,7 +17,7 @@ import mpmath
 import numpy as np
 
 from ..models.sdp import DeviceSDP
-from ..utils.strings import limbs_to_mpf, str_to_limbs, limbs_to_str
+from ..utils.strings import limbs_to_mpf, str_to_limbs
 from ..utils.timers import Timers
 from .params import SolverParameters
 from .state import SolverState, initial_state

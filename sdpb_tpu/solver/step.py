@@ -13,7 +13,6 @@ All math follows the reference contract exactly; citations inline.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import List, NamedTuple, Optional
 
