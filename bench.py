@@ -1,118 +1,181 @@
 #!/usr/bin/env python
-"""Benchmark: IPM iterations/s on a 3D-Ising-class workload (single chip).
+"""Benchmark: real-fixture time-to-solution + synthetic iterations/s.
 
-Runs the full jitted predictor-corrector iteration (the solver hot loop —
-everything in /root/reference/src/sdp_solve/SDP_Solver/run/run.cxx:113-183)
-on a synthetic problem at production scale (200 blocks, 48 sample
-points, dual dimension 100 — the 3D-Ising configuration class of
-BASELINE.json) and reports steady-state iterations/s, excluding
-compilation.
+Two measurements, one JSON line:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "iterations/s", "vs_baseline": N}
+1. HEADLINE — the reference's own CI workload: solve
+   SingletScalar_cT_test_nmax6 (11 blocks, N=20;
+   /root/reference/test/data/end-to-end_tests/.../sdp.orig.zip) end-to-end
+   with run_solver on this machine's device and report wall-clock.
+   vs_baseline = (SDPB CI anchor 39 s on 6 CPU ranks at 768 bits;
+   BASELINE.md) / (our wall-clock).  Precision caveat: the TPU path runs
+   216-bit scaled-f32 arithmetic (exponent-tracked limbs) to gap <= 1e-15,
+   not the reference's 768-bit/1e-30 contract — stated in the "caveat"
+   field so the comparison is honest about what is and isn't matched.
 
-vs_baseline: ratio to the reference's CI anchor for the real fixture
-(39 s solve on 6 ranks at 768 bits; see BASELINE.md).  The metric label
-carries the working precision (K=5 f32 limbs ~= 115 bits on TPU) so rounds
-stay comparable.
+2. SECONDARY — steady-state IPM iterations/s on a 3D-Ising-class synthetic
+   (200 blocks, np=48, N=100) at the PRODUCTION mixed-precision
+   configuration (factor_limbs/n_refine exactly as run_solver derives them,
+   solver/solve.py), timed with per-iteration host materialization of the
+   stats — the same sync pattern as the production loop (round 1 timed
+   async dispatch with a sync primitive that was later questioned;
+   np.asarray materialization is unambiguous).
 """
 import json
 import os
 import sys
 import time
 
-REFERENCE_SDP = "/root/reference/test/data/sdp.zip"
 REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURE = ("/root/reference/test/data/end-to-end_tests/"
+           "SingletScalar_cT_test_nmax6/primal_dual_optimal/sdp.orig.zip")
+BASELINE_S = 39.0   # SDPB CI: 6 MPI ranks, 768 bits (BASELINE.md)
+ORACLE = "-0.283884666328349913107791200043437245362902095745491"
 
 
-def main():
-    sys.path.insert(0, REPO)
-    import jax
-    import jax.numpy as jnp
+def fixture_bench(platform):
+    import mpmath
     import numpy as np
-
-    from sdpb_tpu.utils import platform as plat
-
-    platform = jax.devices()[0].platform
-    if platform == "cpu":
-        # CPU path requires strict-FP codegen; only effective pre-init, so
-        # re-exec if the flag is missing (bench is normally run on TPU).
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "--xla_cpu_use_fusion_emitters=false" not in flags:
-            os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_use_fusion_emitters=false").strip()
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-
     from sdpb_tpu.io.sdp_zip import read_sdp
     from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import TerminateReason, run_solver
+
+    t0 = time.time()
+    if platform == "cpu":
+        # classic f64 limbs: K=4 = 212 bits
+        K, bits = 4, 212
+        host = read_sdp(FIXTURE, K, np.float64)
+        sdp = build_device_sdp(host)
+    else:
+        # scaled f32 limbs (exponent-tracked): K=9 = 216 bits
+        K, bits = 9, 216
+        K64 = -(-(24 * K) // 53) + 1
+        host = read_sdp(FIXTURE, K64, np.float64)
+        sdp = build_device_sdp(host, scaled_limbs=K)
+    load_s = time.time() - t0
+
+    params = SolverParameters(
+        precision=bits,
+        duality_gap_threshold="1e-15",
+        primal_error_threshold="1e-15", dual_error_threshold="1e-15",
+        initial_matrix_scale_primal="1e10", initial_matrix_scale_dual="1e10",
+        max_iterations=250)
+    t0 = time.time()
+    res = run_solver(sdp, params, verbosity=0)
+    solve_s = time.time() - t0
+    with mpmath.workprec(300):
+        digits = -float(mpmath.log10(
+            abs(res.primal_objective - mpmath.mpf(ORACLE)) + mpmath.mpf(10) ** -60))
+    return {
+        "fixture_solve_s": round(solve_s, 1),
+        "fixture_load_s": round(load_s, 1),
+        "fixture_iterations": res.iterations,
+        "fixture_it_per_s": round(res.iterations / solve_s, 3),
+        "fixture_terminate": str(res.terminate_reason),
+        "fixture_gap": float(res.duality_gap),
+        "fixture_objective_digits": round(digits, 1),
+        "fixture_precision_bits": bits,
+    }
+
+
+def synthetic_bench(platform):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
     from sdpb_tpu.models.synthetic import random_sdp
     from sdpb_tpu.solver.state import initial_state
     from sdpb_tpu.solver.step import StepConfig, make_iteration
     from sdpb_tpu.utils.strings import str_to_limbs
+    from sdpb_tpu.utils import platform as plat
 
     dtype = plat.default_base_dtype()
     np_dtype = np.float32 if dtype == jnp.float32 else np.float64
-    # K=5 float32 limbs on TPU ~= 115 bits (the double-double-class
-    # working precision of BASELINE.json); K=2 float64 on CPU (106 bits).
-    # TPU compile at K=5 is ~4 min (scan-deduped iteration + Pallas matmul).
     K = 5 if np_dtype == np.float32 else 2
-
-    # nmax6-class workload: the shape profile of the reference's
-    # SingletScalar_cT_test_nmax6 fixture (11 blocks, num_points up to 31,
-    # dual dimension 20) — big enough to exercise the Pallas matmul path.
     host = random_sdp(num_blocks=200, dim=1, num_points=48, dual_dim=100,
                       K=K, np_dtype=np_dtype)
-    workload = "3D-Ising-class synthetic (200 blocks, np=48, N=100)"
+    from sdpb_tpu.models.sdp import build_device_sdp
 
     sdp = build_device_sdp(host)
     omega = str_to_limbs("1e2", K, np_dtype)
     state = initial_state(sdp, omega, omega)
+    # PRODUCTION mixed-precision scheme (solver/solve.py::make_cfg)
+    factor_limbs = max(2, (K + 2) // 2)
+    n_refine = 0 if K <= factor_limbs else -(-K // factor_limbs)
     cfg = StepConfig(
         total_psd_rows=sdp.total_psd_rows, axis=None, gamma=0.7,
         feasible_beta_limbs=str_to_limbs("0.1", K, np_dtype),
         infeasible_beta_limbs=str_to_limbs("0.3", K, np_dtype),
         primal_error_threshold=1e-15, dual_error_threshold=1e-15,
-        max_complementarity=1e30)
+        max_complementarity=1e30,
+        factor_limbs=factor_limbs, n_refine=n_refine)
     iteration = jax.jit(make_iteration(cfg))
 
     t0 = time.time()
     stats, state = iteration(sdp, state)
-    jax.block_until_ready(state)
+    np.asarray(stats.primal_error_P)     # full host materialization
     compile_s = time.time() - t0
 
-    # steady state: chain iterations without host sync
-    warm = 2
-    for _ in range(warm):
+    for _ in range(2):
         stats, state = iteration(sdp, state)
-    jax.block_until_ready(state)
+    np.asarray(stats.primal_error_P)
     n = 10
     t0 = time.time()
     for _ in range(n):
         stats, state = iteration(sdp, state)
-    jax.block_until_ready(state)
+        # per-iteration host sync, as the production loop does
+        np.asarray(stats.primal_error_P)
     elapsed = time.time() - t0
-    its_per_s = n / elapsed
+    return {
+        "synthetic_it_per_s": round(n / elapsed, 3),
+        "synthetic_compile_s": round(compile_s, 1),
+        "synthetic_config": (f"200 blocks np=48 N=100, K={K} "
+                             f"{np_dtype.__name__}, Kf={factor_limbs}, "
+                             f"refine={n_refine}"),
+    }
 
-    # reference anchor: SDPB's CI solves its nmax6 fixture (an ~18x
-    # smaller problem than this workload) in 39 s on 6 CPU ranks at 768
-    # bits ~= 2.8 it/s; kept as the in-tree anchor until a measured
-    # 3D-Ising baseline exists (BASELINE.md).
-    baseline = None
+
+def main():
+    sys.path.insert(0, REPO)
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_cpu_use_fusion_emitters=false" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_use_fusion_emitters=false").strip()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        jax.config.update("jax_enable_x64", True)
+
+    out = {}
+    err = None
     try:
-        with open(os.path.join(REPO, "BASELINE.json")) as f:
-            baseline = json.load(f).get("published", {}).get(
-                "nmax6_ipm_iterations_per_s", 2.8)
-    except Exception:
-        baseline = 2.8
-    vs_baseline = (its_per_s / baseline) if baseline else 1.0
+        out.update(synthetic_bench(platform))
+    except Exception as e:  # keep the headline even if one half fails
+        err = f"synthetic: {e!r}"
+    try:
+        out.update(fixture_bench(platform))
+    except Exception as e:
+        err = (err + "; " if err else "") + f"fixture: {e!r}"
 
-    print(json.dumps({
-        "metric": f"ipm_iterations_per_s[{workload}, {platform}, K={K} {np_dtype.__name__} limbs]",
-        "value": round(its_per_s, 3),
-        "unit": "iterations/s",
-        "vs_baseline": round(vs_baseline, 3),
-        "compile_s": round(compile_s, 1),
-        "baseline_note": "SDPB CI: real nmax6 fixture in 39 s on 6 ranks at 768 bits (~110 iters, estimated)",
-    }))
+    solve_s = out.get("fixture_solve_s")
+    vs = round(BASELINE_S / solve_s, 3) if solve_s else 0.0
+    rec = {
+        "metric": f"nmax6_time_to_solution[{platform}]",
+        "value": solve_s if solve_s else -1,
+        "unit": "s",
+        "vs_baseline": vs,
+        "caveat": ("reference anchor is 39 s / 6 MPI ranks / 768 bits / "
+                   "gap 9e-31; this run solves the same SDP at "
+                   f"{out.get('fixture_precision_bits', '?')} bits to gap "
+                   f"{out.get('fixture_gap', '?')} (precision contract not "
+                   "matched; deeper gaps need more limbs)"),
+    }
+    rec.update(out)
+    if err:
+        rec["error"] = err
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,11 @@ def main(argv=None) -> int:
                    help="Default: sdp path with '_out' appended")
     p.add_argument("--linear", action="store_true",
                    help="Only compute the linear approximation")
+    p.add_argument("--writeSolverState", action="store_true",
+                   help="Serialize the frozen Schur solver (S-Cholesky, "
+                        "S^-1 B, Q) into solutionDir/solver_state.npz so "
+                        "later invocations skip the rebuild "
+                        "(setup_solver.cxx:40-52 analog)")
     p.add_argument("--procsPerNode", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -60,6 +65,22 @@ def main(argv=None) -> int:
     # cond(S) ~ 1/gap^2 is maximal — use full factor precision
     factor_limbs = K
     n_refine = 1
+
+    from ..tools.approx_objective import (load_solver_state, make_setup_fn,
+                                          save_solver_state)
+
+    frozen = None
+    state_path = solution_dir / "solver_state.npz"
+    if not args.linear:
+        loaded = load_solver_state(state_path)
+        if loaded is not None and loaded[1] == factor_limbs:
+            frozen = loaded[0]
+        else:
+            setup = jax.jit(make_setup_fn(factor_limbs, n_refine))
+            frozen = setup(sdp, state)
+            if args.writeSolverState:
+                save_solver_state(state_path, frozen, factor_limbs)
+
     fn = jax.jit(make_approx_fn(factor_limbs, n_refine),
                  static_argnames=("quadratic",))
 
@@ -71,8 +92,11 @@ def main(argv=None) -> int:
 
     ndigits = int(args.precision * 0.30103) + 1
 
-    def s(limbs):
-        return mpmath.nstr(limbs_to_mpf(np.asarray(limbs)), ndigits,
+    from ..utils.strings import mp_host_to_mpf
+
+    def s(mp_val):
+        host = jax.tree.map(np.asarray, mp_val)
+        return mpmath.nstr(mp_host_to_mpf(host), ndigits,
                            strip_zeros=False, min_fixed=1, max_fixed=0)
 
     results = []
@@ -83,8 +107,8 @@ def main(argv=None) -> int:
 
         d_const = MP(jnp.asarray(host_new.objective_const - host_old.objective_const))
         d_b = MP(jnp.asarray(host_new.b - host_old.b))
-        total, d_obj, dd_obj = fn(sdp, state, d_const, d_b, d_cs, d_Bs,
-                                  quadratic=not args.linear)
+        total, d_obj, dd_obj = fn(sdp, state, frozen, d_const, d_b, d_cs,
+                                  d_Bs, quadratic=not args.linear)
         results.append({
             "path": str(path),
             "objective": s(total),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import tarfile
 import zipfile
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -62,28 +63,59 @@ class SDPData:
 
 
 class _ArchiveSource:
-    """Uniform access to files inside a zip/tar archive or a directory."""
+    """Uniform access to files inside a zip/tar/7z archive or a directory.
+
+    The reference reads any libarchive-supported container
+    (/root/reference/src/sdp_solve/Archive_Reader.hxx:14-36); here zip and
+    tar (incl. .tar.gz/.tgz/.tar.bz2/.tar.xz) come from the stdlib and 7z
+    from py7zr when installed (gated: absent py7zr raises a clear error)."""
 
     def __init__(self, path):
         self.path = Path(path)
+        self._members = None
         if self.path.is_dir():
-            self.zf = None
-        else:
+            self.kind = "dir"
+        elif zipfile.is_zipfile(self.path):
+            self.kind = "zip"
             self.zf = zipfile.ZipFile(self.path)
+        elif tarfile.is_tarfile(self.path):
+            self.kind = "tar"
+            self.tf = tarfile.open(self.path)
+            self._members = {m.name.lstrip("./"): m
+                             for m in self.tf.getmembers() if m.isfile()}
+        else:
+            try:
+                import py7zr
+            except ImportError:
+                raise RuntimeError(
+                    f"{self.path}: not a directory, zip, or tar archive "
+                    "(7z needs the optional py7zr package)")
+            self.kind = "7z"
+            with py7zr.SevenZipFile(self.path) as z:
+                self._members = {n: None for n in z.getnames()}
 
     def read(self, name: str) -> bytes:
-        if self.zf is None:
+        if self.kind == "dir":
             return (self.path / name).read_bytes()
-        return self.zf.read(name)
+        if self.kind == "zip":
+            return self.zf.read(name)
+        if self.kind == "tar":
+            return self.tf.extractfile(self._members[name]).read()
+        import py7zr
+
+        with py7zr.SevenZipFile(self.path) as z:
+            return z.read([name])[name].read()
 
     def exists(self, name: str) -> bool:
-        if self.zf is None:
+        if self.kind == "dir":
             return (self.path / name).exists()
-        try:
-            self.zf.getinfo(name)
-            return True
-        except KeyError:
-            return False
+        if self.kind == "zip":
+            try:
+                self.zf.getinfo(name)
+                return True
+            except KeyError:
+                return False
+        return name in self._members
 
 
 def read_sdp(path, K: int, np_dtype=np.float64) -> SDPData:

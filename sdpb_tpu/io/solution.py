@@ -66,11 +66,15 @@ def host_blocks(sdp: DeviceSDP, state: SolverState) -> Dict[int, dict]:
 
     Returns {block_index: {x: [K,P_real], X_even: [K,pe,pe], X_odd,
     Y_even, Y_odd}} with padding entries dropped."""
+    from ..ops import mpfloat as mp
+
     out: Dict[int, dict] = {}
     for bk, bs in zip(sdp.buckets, state.buckets):
         sh = bk.shape
-        x = np.asarray(bs.x.limbs)
-        mats = {name: np.asarray(getattr(bs, name).limbs)
+        # always materialize as CLASSIC float64 limbs: the portable on-disk
+        # number format, independent of the device representation
+        x = mp.host_f64_limbs(bs.x)
+        mats = {name: mp.host_f64_limbs(getattr(bs, name))
                 for name in ("X_even", "X_odd", "Y_even", "Y_odd")}
         K = x.shape[0]
         for i, rs in enumerate(bk.real_sizes):
@@ -121,7 +125,9 @@ def save_solution(
         f"{runtime_label:<16s}= {int(result.runtime)};\n")
 
     if write_solution.vector_y:
-        y = np.asarray(state.y.limbs)  # [K, N]
+        from ..ops import mpfloat as mp
+
+        y = mp.host_f64_limbs(state.y)  # [K64, N]
         write_text_matrix(out_dir / "y.txt", y[:, :, None])
 
     if write_solution.vector_x or write_solution.matrix_X or write_solution.matrix_Y:

@@ -53,14 +53,6 @@ class BucketShape:
         return self.num_points * self.dim * (self.dim + 1) // 2
 
     @property
-    def psd_even(self) -> int:
-        return self.dim * self.h_even
-
-    @property
-    def psd_odd(self) -> int:
-        return self.dim * self.h_odd
-
-    @property
     def n_pairs(self) -> int:
         return self.dim * (self.dim + 1) // 2
 
@@ -166,10 +158,16 @@ def bucket_key(dim: int, num_points: int, policy: str, quant: int) -> tuple:
 
 
 def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantized",
-                     quant: int = 8) -> DeviceSDP:
+                     quant: int = 8, scaled_limbs: int = 0) -> DeviceSDP:
     """Bucket host blocks by (quantized) shape, zero-pad each block to the
     bucket shape, pad batches to a multiple of `pad_to` (the mesh size), and
     stage everything to device MP arrays.
+
+    scaled_limbs > 0 stages to the SCALED representation (f32 mantissa
+    limbs + per-element int32 exponent; ops.mpfloat): the host SDPData must
+    then hold float64 limbs (read_sdp(..., K64, np.float64) with
+    K64 >= ceil(24*scaled_limbs/53)+1), which are converted exactly.  This
+    is the TPU staging path — raw f32 limbs lose tails outside ~1e+-30.
 
     shape_policy:
       * "quantized" (default): blocks with equal dim and num_points in the
@@ -186,6 +184,18 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
     K = sdp.b.shape[0]
     dtype = jnp.asarray(sdp.b).dtype
     npdt = np.float32 if dtype == jnp.float32 else np.float64
+    if scaled_limbs:
+        assert npdt == np.float64, "scaled staging requires float64 host limbs"
+        need = -(-(24 * scaled_limbs) // 53) + 1
+        assert K >= need, (f"host K={K} f64 limbs carry {53*K} bits < "
+                           f"{24*scaled_limbs}+ needed for scaled K={scaled_limbs}")
+
+    def _stage(arr: np.ndarray) -> MP:
+        """Host [K, *shape] limb array -> device MP (either representation)."""
+        if not scaled_limbs:
+            return MP(jnp.asarray(arr, dtype=dtype))
+        limbs, exp = mp.f64_limbs_to_scaled_parts(arr, scaled_limbs)
+        return MP(jnp.asarray(limbs), jnp.asarray(exp))
 
     groups: Dict[tuple, List] = {}
     for blk in sdp.blocks:
@@ -256,23 +266,24 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
         emb_odd = np.stack(
             [_embed_blockdiag(bases_odd[:, i], dim) for i in range(Bpad)], axis=1)
 
+        mdt = np.float32 if scaled_limbs else npdt
         buckets.append(Bucket(
-            bases_even=MP(jnp.asarray(bases_even, dtype=dtype)),
-            bases_odd=MP(jnp.asarray(bases_odd, dtype=dtype)),
-            emb_even=MP(jnp.asarray(emb_even, dtype=dtype)),
-            emb_odd=MP(jnp.asarray(emb_odd, dtype=dtype)),
-            Bmat=MP(jnp.asarray(Bmat, dtype=dtype)),
-            c=MP(jnp.asarray(c, dtype=dtype)),
-            mask=jnp.asarray(mask),
-            row_mask=jnp.asarray(row_mask),
-            psd_mask_even=jnp.asarray(pm_even),
-            psd_mask_odd=jnp.asarray(pm_odd),
+            bases_even=_stage(bases_even),
+            bases_odd=_stage(bases_odd),
+            emb_even=_stage(emb_even),
+            emb_odd=_stage(emb_odd),
+            Bmat=_stage(Bmat),
+            c=_stage(c),
+            mask=jnp.asarray(mask.astype(mdt)),
+            row_mask=jnp.asarray(row_mask.astype(mdt)),
+            psd_mask_even=jnp.asarray(pm_even.astype(mdt)),
+            psd_mask_odd=jnp.asarray(pm_odd.astype(mdt)),
             real_sizes=tuple(real_sizes),
             shape=shape,
         ))
 
     return DeviceSDP(
-        objective_const=MP(jnp.asarray(sdp.objective_const, dtype=dtype)),
-        b=MP(jnp.asarray(sdp.b, dtype=dtype)),
+        objective_const=_stage(np.asarray(sdp.objective_const)),
+        b=_stage(np.asarray(sdp.b)),
         buckets=buckets,
     )

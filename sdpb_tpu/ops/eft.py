@@ -74,7 +74,7 @@ def split(a):
 # emitters DO contract — even across lax.optimization_barrier and through
 # bitcast round-trips — so every CPU entry point of this package must set
 # XLA_FLAGS=--xla_cpu_use_fusion_emitters=false (see
-# sdpb_tpu.utils.platform.require_exact_float_semantics, enforced by a
+# sdpb_tpu.utils.platform.configure_cpu; verify_eft is the enforcing
 # runtime self-check).
 
 

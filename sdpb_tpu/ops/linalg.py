@@ -43,34 +43,53 @@ def matmul(a: MP, b: MP, chunk: int = 128) -> MP:
 
     if pk.pallas_matmul_viable(a, b):
         return pk.mp_matmul(a, b)
-    if Kd <= chunk:
-        terms = mp.mul(MP(a.limbs[..., :, :, None]), MP(b.limbs[..., None, :, :]))
+    # the vectorized MP product materializes ~2K^2 term arrays of the
+    # [..., M, chunk, N] intermediate; bound the footprint at high K
+    if a.K >= 6:
+        chunk = max(4, (chunk * 25) // (a.K * a.K))
+
+    def _expand(x: MP, y: MP) -> MP:
+        # x [..., M, c] -> [..., M, c, 1]; y [..., c, N] -> [..., 1, c, N]
+        xe = MP(x.limbs[..., :, :, None],
+                None if x.exp is None else x.exp[..., :, :, None])
+        ye = MP(y.limbs[..., None, :, :],
+                None if y.exp is None else y.exp[..., None, :, :])
+        terms = mp.mul(xe, ye)
         return mp.sum_(terms, axis=terms.ndim - 2)
+
+    if Kd <= chunk:
+        return _expand(a, b)
 
     nchunks = -(-Kd // chunk)
     pad = nchunks * chunk - Kd
     if pad:
-        a = MP(jnp.pad(a.limbs, [(0, 0)] * (a.limbs.ndim - 1) + [(0, pad)]))
-        b = MP(jnp.pad(b.limbs, [(0, 0)] * (b.limbs.ndim - 2) + [(0, pad), (0, 0)]))
+        a = mp.pad_dim(a, axis=a.ndim - 1, count=pad)
+        b = mp.pad_dim(b, axis=b.ndim - 2, count=pad)
 
     def body(i, acc):
-        sl_a = jax.lax.dynamic_slice_in_dim(a.limbs, i * chunk, chunk, axis=a.limbs.ndim - 1)
-        sl_b = jax.lax.dynamic_slice_in_dim(b.limbs, i * chunk, chunk, axis=b.limbs.ndim - 2)
-        terms = mp.mul(MP(sl_a[..., :, :, None]), MP(sl_b[..., None, :, :]))
-        part = mp.sum_(terms, axis=terms.ndim - 2)
-        return mp.add(acc, part)
+        sl_a = mp.dynamic_slice_in_dim(a, i * chunk, chunk, axis=a.ndim - 1)
+        sl_b = mp.dynamic_slice_in_dim(b, i * chunk, chunk, axis=b.ndim - 2)
+        return mp.add(acc, _expand(sl_a, sl_b))
 
     out_shape = a.shape[:-1] + (b.shape[-1],)
-    acc0 = mp.zeros(out_shape, a.K, a.dtype)
+    acc0 = mp.zeros(out_shape, a.K, a.dtype, scaled=a.scaled)
     return jax.lax.fori_loop(0, nchunks, body, acc0)
 
 
+def col(x: MP) -> MP:
+    """Append a trailing singleton axis: [..., n] -> [..., n, 1]."""
+    return MP(jnp.expand_dims(x.limbs, -1),
+              None if x.exp is None else jnp.expand_dims(x.exp, -1))
+
+
 def matvec(a: MP, x: MP, chunk: int = 128) -> MP:
-    return matmul(a, MP(x.limbs[..., :, None]), chunk=chunk)[..., 0]
+    return matmul(a, col(x), chunk=chunk)[..., 0]
 
 
 def outer(u: MP, v: MP) -> MP:
-    return mp.mul(MP(u.limbs[..., :, None]), MP(v.limbs[..., None, :]))
+    ue = MP(u.limbs[..., :, None], None if u.exp is None else u.exp[..., :, None])
+    ve = MP(v.limbs[..., None, :], None if v.exp is None else v.exp[..., None, :])
+    return mp.mul(ue, ve)
 
 
 def symmetrize(a: MP) -> MP:
@@ -87,10 +106,14 @@ def frobenius(a: MP, b: MP) -> MP:
 
 
 def trace(a: MP) -> MP:
-    n = a.shape[-1]
-    eye = jnp.eye(n, dtype=a.dtype)
-    diag = mp.sum_(MP(a.limbs * eye), axis=a.ndim - 1)
-    return mp.sum_(diag, axis=diag.ndim - 1)
+    d = mp.diagonal(a)
+    return mp.sum_(d, axis=d.ndim - 1)
+
+
+def row(x: MP) -> MP:
+    """Prepend a singleton row axis: [..., m] -> [..., 1, m]."""
+    return MP(jnp.expand_dims(x.limbs, -2),
+              None if x.exp is None else jnp.expand_dims(x.exp, -2))
 
 
 # ---------------------------------------------------------------------------
@@ -113,28 +136,27 @@ def cholesky(A: MP) -> MP:
 
     def body(j, carry):
         M, L = carry
-        colM = MP(jnp.take(M.limbs, j, axis=M.limbs.ndim - 1))  # [K, ..., n]
-        d2 = MP(jnp.take(colM.limbs, j, axis=colM.limbs.ndim - 1))  # [K, ...]
+        colM = mp.take(M, j, axis=M.ndim - 1)       # [..., n]
+        d2 = mp.take(colM, j, axis=colM.ndim - 1)   # [...]
         r = mp.rsqrt(d2)                    # 1/sqrt(d2)
         d = mp.mul(d2, r)                   # sqrt(d2)
-        col = mp.mul(colM, MP(r.limbs[..., None]))
-        below = row_idx > j
-        col_below = MP(jnp.where(below, col.limbs, 0))
+        colj = mp.mul(colM, col(r))
+        col_below = mp.mask_value(colj, row_idx > j)
         # L column j: d on the diagonal, scaled entries below
-        colL = mp.where(row_idx == j, MP(jnp.broadcast_to(d.limbs[..., None], col.limbs.shape)), col_below)
-        L = MP(jnp.where(row_idx == j, colL.limbs[..., :, None], L.limbs))
+        colL = mp.where(row_idx == j, mp.broadcast_to(col(d), colj.shape), col_below)
+        L = mp.where(row_idx == j, col(colL), L)    # write column j
         # trailing update M -= col_below col_below^T
         M = mp.sub(M, outer(col_below, col_below))
         return M, L
 
-    L0 = mp.zeros(A.shape, A.K, A.dtype)
+    L0 = mp.zeros(A.shape, A.K, A.dtype, scaled=A.scaled)
     _, L = jax.lax.fori_loop(0, n, body, (A, L0))
     return L
 
 
 def _diag_mp(L: MP) -> MP:
     """Diagonal of [..., n, n] as [..., n]."""
-    return MP(jnp.diagonal(L.limbs, axis1=-2, axis2=-1))
+    return mp.diagonal(L)
 
 
 # ---------------------------------------------------------------------------
@@ -154,18 +176,17 @@ def solve_lower(L: MP, B: MP, diag_inv: MP = None) -> MP:
     dinv = mp.reciprocal(_diag_mp(L)) if diag_inv is None else diag_inv  # [..., n]
 
     def body(i, X):
-        Lrow = MP(jnp.take(L.limbs, i, axis=L.limbs.ndim - 2))  # [K, ..., n]
-        di = MP(jnp.take(dinv.limbs, i, axis=dinv.limbs.ndim - 1))  # [K, ...]
+        Lrow = mp.take(L, i, axis=L.ndim - 2)        # [..., n]
+        di = mp.take(dinv, i, axis=dinv.ndim - 1)    # [...]
         # acc = sum_{k<i} L[i,k] X[k,:]
-        terms = mp.mul(MP(Lrow.limbs[..., :, None]), X)  # [..., n, m]
-        terms = MP(jnp.where((row_idx < i)[:, None], terms.limbs, 0))
-        acc = mp.sum_(terms, axis=terms.ndim - 2)  # [..., m]
-        Brow = MP(jnp.take(B.limbs, i, axis=B.limbs.ndim - 2))
-        xi = mp.mul(mp.sub(Brow, acc), MP(di.limbs[..., None]))
-        X = MP(jnp.where((row_idx == i)[:, None], xi.limbs[..., None, :], X.limbs))
+        terms = mp.mask_value(mp.mul(col(Lrow), X), (row_idx < i)[:, None])
+        acc = mp.sum_(terms, axis=terms.ndim - 2)    # [..., m]
+        Brow = mp.take(B, i, axis=B.ndim - 2)
+        xi = mp.mul(mp.sub(Brow, acc), col(di))
+        X = mp.where((row_idx == i)[:, None], row(xi), X)
         return X
 
-    X0 = mp.zeros(B.shape, B.K, B.dtype)
+    X0 = mp.zeros(B.shape, B.K, B.dtype, scaled=B.scaled)
     return jax.lax.fori_loop(0, n, body, X0)
 
 
@@ -177,17 +198,16 @@ def solve_lower_T(L: MP, B: MP, diag_inv: MP = None) -> MP:
 
     def body(k, X):
         i = n - 1 - k
-        Lcol = MP(jnp.take(L.limbs, i, axis=L.limbs.ndim - 1))  # [K, ..., n] = L[:, i]
-        di = MP(jnp.take(dinv.limbs, i, axis=dinv.limbs.ndim - 1))
-        terms = mp.mul(MP(Lcol.limbs[..., :, None]), X)  # L[k, i] X[k, :]
-        terms = MP(jnp.where((row_idx > i)[:, None], terms.limbs, 0))
+        Lcol = mp.take(L, i, axis=L.ndim - 1)        # [..., n] = L[:, i]
+        di = mp.take(dinv, i, axis=dinv.ndim - 1)
+        terms = mp.mask_value(mp.mul(col(Lcol), X), (row_idx > i)[:, None])
         acc = mp.sum_(terms, axis=terms.ndim - 2)
-        Brow = MP(jnp.take(B.limbs, i, axis=B.limbs.ndim - 2))
-        xi = mp.mul(mp.sub(Brow, acc), MP(di.limbs[..., None]))
-        X = MP(jnp.where((row_idx == i)[:, None], xi.limbs[..., None, :], X.limbs))
+        Brow = mp.take(B, i, axis=B.ndim - 2)
+        xi = mp.mul(mp.sub(Brow, acc), col(di))
+        X = mp.where((row_idx == i)[:, None], row(xi), X)
         return X
 
-    X0 = mp.zeros(B.shape, B.K, B.dtype)
+    X0 = mp.zeros(B.shape, B.K, B.dtype, scaled=B.scaled)
     return jax.lax.fori_loop(0, n, body, X0)
 
 
@@ -227,18 +247,40 @@ class PosdefSolver:
 
     def __init__(self, A: MP, factor_limbs: int = 2, equilibrate: bool = False):
         self.A = A
-        d0 = jnp.abs(jnp.diagonal(A.limbs[0], axis1=-2, axis2=-1))  # [.., n]
-        d0 = jnp.where((d0 > 0) & jnp.isfinite(d0), d0, 1.0)
-        # scale_i = 2^(-round(log2 d_i / 2)), clamped to the dtype's range
-        max_e = float(np.finfo(A.dtype).maxexp - 8)
-        e = jnp.clip(jnp.round(jnp.log2(d0) / 2.0), -max_e / 2, max_e / 2)
-        self.scale = (jnp.exp2(-e) if equilibrate else jnp.ones_like(d0)).astype(A.dtype)
-        As = MP(A.limbs * (self.scale[..., :, None] * self.scale[..., None, :]))
+        if equilibrate and A.scaled:
+            raise NotImplementedError(
+                "equilibration is unnecessary with exponent-tracked limbs")
+        if equilibrate:
+            d0 = jnp.abs(jnp.diagonal(A.limbs[0], axis1=-2, axis2=-1))  # [.., n]
+            d0 = jnp.where((d0 > 0) & jnp.isfinite(d0), d0, 1.0)
+            # scale_i = 2^(-round(log2 d_i / 2)), clamped to the dtype's range
+            max_e = float(np.finfo(A.dtype).maxexp - 8)
+            e = jnp.clip(jnp.round(jnp.log2(d0) / 2.0), -max_e / 2, max_e / 2)
+            self.scale = jnp.exp2(-e).astype(A.dtype)
+            As = MP(A.limbs * (self.scale[..., :, None] * self.scale[..., None, :]))
+        else:
+            self.scale = None
+            As = A
         self.L = cholesky(mp.round_to(As, factor_limbs))
         self.dinv = mp.reciprocal(_diag_mp(self.L))
         self.Kf = factor_limbs
 
+    @classmethod
+    def from_parts(cls, A: MP, L: MP, dinv: MP, factor_limbs: int):
+        """Reassemble from precomputed parts (deserialized frozen solver
+        state; the approx_objective --writeSolverState reuse path, mirroring
+        /root/reference/src/approx_objective/setup_solver.cxx:40-52)."""
+        self = cls.__new__(cls)
+        self.A = A
+        self.scale = None
+        self.L = L
+        self.dinv = dinv
+        self.Kf = factor_limbs
+        return self
+
     def _row_scale(self, B: MP) -> MP:
+        if self.scale is None:
+            return B
         return MP(B.limbs * self.scale[..., :, None])
 
     def solve_lo(self, B_lo: MP) -> MP:

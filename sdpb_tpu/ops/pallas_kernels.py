@@ -173,6 +173,11 @@ def pallas_matmul_viable(a: MP, b: MP) -> bool:
     toy-sized blocks)."""
     if jax.default_backend() == "cpu":
         return False
+    if a.scaled or b.scaled:
+        # per-element exponents need alignment inside the contraction; the
+        # kernel operates on raw f32 ladders only (scaled matmul rides the
+        # XLA fallback in ops.linalg.matmul)
+        return False
     if a.dtype != jnp.float32 or a.limbs.ndim != 4 or b.limbs.ndim != 4:
         return False
     K, B, M, Kd = a.limbs.shape

@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.sdp import Bucket, DeviceSDP
+from ..ops.mpfloat import MP
 from ..solver.state import BucketState, SolverState
 from ..solver.step import StepConfig, make_iteration
 
@@ -39,31 +40,46 @@ def make_mesh(devices=None, axis: str = BLOCK_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _mp_spec(like: MP, batch_sharded: bool, axis: str):
+    """Spec 'MP' for an MP operand: limbs carry a leading K axis, so the
+    batch sits at limbs axis 1 but exp axis 0 (scaled mode)."""
+    lspec = P(None, axis) if batch_sharded else P()
+    espec = (P(axis) if batch_sharded else P()) if like.scaled else None
+    return MP(lspec, espec)
+
+
 def sdp_pspecs(sdp: DeviceSDP, axis: str = BLOCK_AXIS) -> DeviceSDP:
-    """PartitionSpec tree-prefix for a DeviceSDP: bucket batch axes sharded
-    (limbs layout [K, B, ...] -> batch is axis 1), objectives replicated."""
+    """PartitionSpec tree for a DeviceSDP: bucket batch axes sharded,
+    objectives replicated."""
     buckets = [
         Bucket(
-            bases_even=P(None, axis), bases_odd=P(None, axis),
-            emb_even=P(None, axis), emb_odd=P(None, axis),
-            Bmat=P(None, axis), c=P(None, axis), mask=P(axis),
+            bases_even=_mp_spec(bk.bases_even, True, axis),
+            bases_odd=_mp_spec(bk.bases_odd, True, axis),
+            emb_even=_mp_spec(bk.emb_even, True, axis),
+            emb_odd=_mp_spec(bk.emb_odd, True, axis),
+            Bmat=_mp_spec(bk.Bmat, True, axis),
+            c=_mp_spec(bk.c, True, axis), mask=P(axis),
             row_mask=P(axis), psd_mask_even=P(axis), psd_mask_odd=P(axis),
             real_sizes=bk.real_sizes, shape=bk.shape,
         )
         for bk in sdp.buckets
     ]
-    return DeviceSDP(objective_const=P(), b=P(), buckets=buckets)
+    return DeviceSDP(objective_const=_mp_spec(sdp.objective_const, False, axis),
+                     b=_mp_spec(sdp.b, False, axis), buckets=buckets)
 
 
 def state_pspecs(state: SolverState, axis: str = BLOCK_AXIS) -> SolverState:
-    """PartitionSpec tree-prefix for SolverState: y replicated, bucket
-    batches sharded."""
+    """PartitionSpec tree for SolverState: y replicated, bucket batches
+    sharded."""
     buckets = [
-        BucketState(x=P(None, axis), X_even=P(None, axis), X_odd=P(None, axis),
-                    Y_even=P(None, axis), Y_odd=P(None, axis))
-        for _ in state.buckets
+        BucketState(x=_mp_spec(bs.x, True, axis),
+                    X_even=_mp_spec(bs.X_even, True, axis),
+                    X_odd=_mp_spec(bs.X_odd, True, axis),
+                    Y_even=_mp_spec(bs.Y_even, True, axis),
+                    Y_odd=_mp_spec(bs.Y_odd, True, axis))
+        for bs in state.buckets
     ]
-    return SolverState(y=P(), buckets=buckets)
+    return SolverState(y=_mp_spec(state.y, False, axis), buckets=buckets)
 
 
 def shard_sdp(sdp: DeviceSDP, mesh: Mesh, axis: str = BLOCK_AXIS) -> DeviceSDP:

@@ -46,19 +46,36 @@ def save_checkpoint(checkpoint_dir, sdp: DeviceSDP, state: SolverState,
     if verbosity >= 1:
         print_fn(f"Saving checkpoint to    : {ck}")
 
-    arrays = {"y": np.asarray(state.y.limbs)}
+    from ..ops import mpfloat as _mp
+
+    arrays = {"y": _mp.host_f64_limbs(state.y)}
     for idx, data in host_blocks(sdp, state).items():
         for name, arr in data.items():
             arrays[f"{name}_{idx}"] = arr
-    np.savez(ck / f"checkpoint_{generation}.npz", **arrays)
 
-    meta = {"current": generation, "version": 1,
-            "options": options or {}}
-    if backup is not None:
-        meta["backup"] = backup
-    tmp = ck / (METADATA + ".tmp")
-    tmp.write_text(json.dumps(meta, indent=1))
-    os.replace(tmp, meta_path)
+    # transient-filesystem defense: up to 10 write attempts with backoff,
+    # as the reference does (save_checkpoint.cxx:67-101)
+    max_retries = 10
+    for attempt in range(max_retries):
+        try:
+            np.savez(ck / f"checkpoint_{generation}.npz", **arrays)
+            meta = {"current": generation, "version": 1,
+                    "options": options or {}}
+            if backup is not None:
+                meta["backup"] = backup
+            tmp = ck / (METADATA + ".tmp")
+            tmp.write_text(json.dumps(meta, indent=1))
+            os.replace(tmp, meta_path)
+            break
+        except OSError as e:
+            if attempt == max_retries - 1:
+                raise
+            if verbosity >= 1:
+                print_fn(f"Error writing checkpoint ({e}); retrying "
+                         f"({attempt + 1}/{max_retries})")
+            import time as _time
+
+            _time.sleep(min(2.0 ** attempt * 0.1, 10.0))
 
     # prune generations older than the backup
     keep = {generation, backup}
@@ -74,18 +91,35 @@ def save_checkpoint(checkpoint_dir, sdp: DeviceSDP, state: SolverState,
 
 def _state_from_block_arrays(sdp: DeviceSDP, y_limbs, block_arrays) -> SolverState:
     """Assemble a SolverState from {block_index: {x, X_even, ...}} host
-    arrays, re-bucketing to the DeviceSDP's current layout (padding entries
-    get X = Y = I as in initial_state)."""
+    float64-limb arrays, re-bucketing to the DeviceSDP's current layout
+    (padding entries get X = Y = I as in initial_state).
+
+    Checkpoints store classic f64 limbs at the precision of the run that
+    wrote them; loading converts to the current device representation
+    (classic or scaled) and precision — checkpoints are therefore portable
+    across devices, mesh shapes AND --precision settings (unlike the
+    reference's rank-local binary dumps)."""
     import jax.numpy as jnp
 
+    from ..ops import mpfloat as _mp
     from ..ops.mpfloat import MP
     from .state import BucketState
 
     K = sdp.b.K
     dtype = sdp.b.dtype
+    scaled = sdp.b.scaled
     npdt = np.float32 if dtype == jnp.float32 else np.float64
+    y_limbs = np.asarray(y_limbs, dtype=np.float64)
+    Kst = y_limbs.shape[0]   # stored limb count (f64)
 
     from ..io.solution import psd_real_indices
+
+    def stage(out64: np.ndarray) -> MP:
+        if scaled:
+            limbs, exp = _mp.f64_limbs_to_scaled_parts(out64, K)
+            return MP(jnp.asarray(limbs), jnp.asarray(exp))
+        return MP(jnp.asarray(_mp.f64_limbs_to_classic(out64, K, npdt),
+                              dtype=dtype))
 
     buckets = []
     for bk in sdp.buckets:
@@ -93,45 +127,45 @@ def _state_from_block_arrays(sdp: DeviceSDP, y_limbs, block_arrays) -> SolverSta
         B = bk.batch
 
         def gather_x():
-            out = np.zeros((K, B, sh.schur_size), dtype=npdt)
-            o4 = out.reshape(K, B, sh.n_pairs, sh.num_points)
+            out = np.zeros((Kst, B, sh.schur_size), dtype=np.float64)
+            o4 = out.reshape(Kst, B, sh.n_pairs, sh.num_points)
             for i, rs in enumerate(bk.real_sizes):
                 if rs.block_index < 0:
                     continue
-                arr = block_arrays[rs.block_index]["x"]
+                arr = np.asarray(block_arrays[rs.block_index]["x"], np.float64)
                 P_real = sh.n_pairs * rs.num_points
-                if arr.shape != (K, P_real):
+                if arr.shape != (Kst, P_real):
                     raise RuntimeError(
                         f"Incompatible checkpoint block {rs.block_index} x: "
-                        f"expected {(K, P_real)}, found {arr.shape}")
-                o4[:, i, :, :rs.num_points] = arr.reshape(K, sh.n_pairs, rs.num_points)
-            return MP(jnp.asarray(out, dtype=dtype))
+                        f"expected {(Kst, P_real)}, found {arr.shape}")
+                o4[:, i, :, :rs.num_points] = arr.reshape(Kst, sh.n_pairs, rs.num_points)
+            return stage(out)
 
         def gather_psd(name):
             h_pad = sh.h_even if name.endswith("even") else sh.h_odd
             n = sh.dim * h_pad
-            out = np.zeros((K, B, n, n), dtype=npdt)
+            out = np.zeros((Kst, B, n, n), dtype=np.float64)
             for i, rs in enumerate(bk.real_sizes):
                 h_real = (rs.h_even if name.endswith("even") else rs.h_odd)
                 if rs.block_index < 0:
                     if n > 0:
-                        out[0, i] = np.eye(n, dtype=npdt)
+                        out[0, i] = np.eye(n)
                     continue
-                arr = block_arrays[rs.block_index][name]
+                arr = np.asarray(block_arrays[rs.block_index][name], np.float64)
                 nr = sh.dim * h_real
-                if arr.shape != (K, nr, nr):
+                if arr.shape != (Kst, nr, nr):
                     raise RuntimeError(
                         f"Incompatible checkpoint block {rs.block_index} {name}: "
-                        f"expected {(K, nr, nr)}, found {arr.shape}")
+                        f"expected {(Kst, nr, nr)}, found {arr.shape}")
                 if nr == n:
                     out[:, i] = arr
                 else:
                     ridx = psd_real_indices(sh.dim, h_pad, h_real)
-                    out[:, i][np.ix_(range(K), ridx, ridx)] = arr
+                    out[:, i][np.ix_(range(Kst), ridx, ridx)] = arr
                     # padded dims carry identity
                     pad = np.setdiff1d(np.arange(n), ridx)
                     out[0, i, pad, pad] = 1.0
-            return MP(jnp.asarray(out, dtype=dtype))
+            return stage(out)
 
         buckets.append(BucketState(
             x=gather_x(),
@@ -141,8 +175,7 @@ def _state_from_block_arrays(sdp: DeviceSDP, y_limbs, block_arrays) -> SolverSta
             Y_odd=gather_psd("Y_odd"),
         ))
 
-    y = MP(jnp.asarray(np.asarray(y_limbs, dtype=npdt), dtype=dtype))
-    return SolverState(y=y, buckets=buckets)
+    return SolverState(y=stage(y_limbs), buckets=buckets)
 
 
 def load_checkpoint(checkpoint_dir, sdp: DeviceSDP, verbosity: int = 1,
@@ -186,8 +219,11 @@ def load_text_checkpoint(directory, sdp: DeviceSDP, verbosity: int = 1,
     directory = Path(directory)
     if verbosity >= 1:
         print_fn(f"Loading text checkpoint from : {directory}")
-    K = sdp.b.K
-    npdt = np.float32 if sdp.b.dtype == jnp.float32 else np.float64
+    # read as classic f64 limbs with the full mantissa of the current
+    # precision; _state_from_block_arrays converts to the device format
+    p = 24 if sdp.b.dtype == jnp.float32 else 53
+    K = -(-(p * sdp.b.K) // 53) + 1
+    npdt = np.float64
 
     blocks: dict = {}
     y = None

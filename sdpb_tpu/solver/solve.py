@@ -17,7 +17,8 @@ import mpmath
 import numpy as np
 
 from ..models.sdp import DeviceSDP
-from ..utils.strings import limbs_to_mpf, str_to_limbs
+from ..utils.strings import (limbs_to_mpf, mp_host_to_mpf, str_to_limbs,
+                             str_to_scaled_limbs)
 from ..utils.timers import Timers
 from .params import SolverParameters
 from .state import SolverState, initial_state
@@ -77,11 +78,16 @@ def run_solver(
 ) -> SolveResult:
     K = sdp.b.K
     dtype = sdp.b.dtype
+    scaled = sdp.b.scaled
     npdt = _np_dtype(dtype)
     timers = timers if timers is not None else Timers()
 
-    omega_p = str_to_limbs(params.initial_matrix_scale_primal, K, npdt)
-    omega_d = str_to_limbs(params.initial_matrix_scale_dual, K, npdt)
+    def parse(s: str):
+        """Decimal string -> host MP parts in the problem's representation."""
+        return str_to_scaled_limbs(s, K) if scaled else str_to_limbs(s, K, npdt)
+
+    omega_p = parse(params.initial_matrix_scale_primal)
+    omega_d = parse(params.initial_matrix_scale_dual)
     state = initial if initial is not None else initial_state(sdp, omega_p, omega_d)
 
     if mesh is not None and axis is None:
@@ -101,8 +107,8 @@ def run_solver(
             factor_limbs=kf,
             n_refine=0 if K <= kf else -(-K // kf),
             gamma=float(mpmath.mpf(params.step_length_reduction)),
-            feasible_beta_limbs=str_to_limbs(params.feasible_centering_parameter, K, npdt),
-            infeasible_beta_limbs=str_to_limbs(params.infeasible_centering_parameter, K, npdt),
+            feasible_beta_limbs=parse(params.feasible_centering_parameter),
+            infeasible_beta_limbs=parse(params.infeasible_centering_parameter),
             primal_error_threshold=float(mpmath.mpf(params.primal_error_threshold)),
             dual_error_threshold=float(mpmath.mpf(params.dual_error_threshold)),
             max_complementarity=float(mpmath.mpf(params.max_complementarity)),
@@ -149,8 +155,12 @@ def run_solver(
         # factors ran out of range for the current conditioning.  The input
         # state is still finite (its own stats were checked last round), so
         # bump the factor precision and retry the same state.
+        def _finite(v):
+            arr = v.limbs if hasattr(v, "limbs") else v
+            return np.all(np.isfinite(arr))
+
         finite = all(
-            np.all(np.isfinite(getattr(stats_host, name)))
+            _finite(getattr(stats_host, name))
             for name in ("primal_objective", "dual_objective", "duality_gap",
                          "mu", "primal_error_P", "primal_error_p",
                          "dual_error", "primal_step", "dual_step"))
@@ -170,9 +180,9 @@ def run_solver(
                 iteration = build_iteration(cfg)
             continue
 
-        p_obj = limbs_to_mpf(stats_host.primal_objective)
-        d_obj = limbs_to_mpf(stats_host.dual_objective)
-        gap = limbs_to_mpf(stats_host.duality_gap)
+        p_obj = mp_host_to_mpf(stats_host.primal_objective)
+        d_obj = mp_host_to_mpf(stats_host.dual_objective)
+        gap = mp_host_to_mpf(stats_host.duality_gap)
         perr_P = float(stats_host.primal_error_P)
         perr_p = float(stats_host.primal_error_p)
         derr = float(stats_host.dual_error)
@@ -214,7 +224,7 @@ def run_solver(
         p_step = float(stats_host.primal_step)
         d_step = float(stats_host.dual_step)
         if verbosity >= 1:
-            mu = limbs_to_mpf(stats_host.mu)
+            mu = mp_host_to_mpf(stats_host.mu)
             print_fn(
                 f"{it:<4d} {int(time.time()-start):>8d} "
                 f"{mpmath.nstr(mu, 2, min_fixed=1, max_fixed=0):<8s} "

@@ -60,15 +60,20 @@ class SolverState:
         return cls(*children)
 
 
-def initial_state(sdp: DeviceSDP, omega_primal_limbs, omega_dual_limbs) -> SolverState:
+def initial_state(sdp: DeviceSDP, omega_primal, omega_dual) -> SolverState:
     """x = y = 0, X = Omega_p I, Y = Omega_d I on REAL PSD dims
     (SDP_Solver ctor, /root/reference/src/sdp_solve/SDP_Solver/SDP_Solver.cxx:24-38).
+
+    omega_* are host MP parts: a [K] limb array (classic) or a
+    (limbs [K], exp) pair (scaled mode, where the per-element exponent
+    removes the f32 range wall that capped Omega on TPU in round 1).
 
     Padded PSD dims (shape padding and whole padded batch entries) get
     X = Y = I so their Cholesky stays perfectly conditioned regardless of
     Omega, and their updates are masked to zero every iteration."""
     K = sdp.b.K
     dtype = sdp.b.dtype
+    scaled = sdp.b.scaled
     buckets = []
     for bk in sdp.buckets:
         B = bk.batch
@@ -76,23 +81,41 @@ def initial_state(sdp: DeviceSDP, omega_primal_limbs, omega_dual_limbs) -> Solve
 
         def psd_init(psd_mask, omega):
             n = psd_mask.shape[1]
+            if scaled:
+                omega_limbs, omega_exp = omega
+            else:
+                omega_limbs = omega
             limbs = jnp.zeros((K, B, n, n), dtype=dtype)
             if n == 0:
-                return MP(limbs)
+                return MP(limbs, jnp.full((B, n, n), mp.EXP_ZERO, jnp.int32)
+                          if scaled else None)
             eye = jnp.eye(n, dtype=dtype)
             m = psd_mask.astype(dtype)  # [B, n]; diag mask
             diag_real = eye * m[:, None, :]
             diag_pad = eye * (1 - m)[:, None, :]
-            limbs = limbs.at[0].set(diag_real * omega[0] + diag_pad)
+            if scaled:
+                # padded diag = 1.0 on the CENTER(K) ladder: top limb 2^C,
+                # exp -C; real diag = Omega's mantissa at Omega's exponent
+                C = mp.center_for(K)
+                limbs = limbs.at[0].set(diag_real * omega_limbs[0]
+                                        + diag_pad * dtype.type(2.0 ** C))
+                for k in range(1, K):
+                    limbs = limbs.at[k].set(diag_real * omega_limbs[k])
+                exp = jnp.where(diag_real > 0, jnp.int32(omega_exp),
+                                jnp.where(diag_pad > 0, jnp.int32(-C),
+                                          mp.EXP_ZERO))
+                return MP(limbs, exp)
+            limbs = limbs.at[0].set(diag_real * omega_limbs[0] + diag_pad)
             for k in range(1, K):
-                limbs = limbs.at[k].set(diag_real * omega[k])
+                limbs = limbs.at[k].set(diag_real * omega_limbs[k])
             return MP(limbs)
 
         buckets.append(BucketState(
-            x=mp.zeros((B, sh.schur_size), K, dtype),
-            X_even=psd_init(bk.psd_mask_even, omega_primal_limbs),
-            X_odd=psd_init(bk.psd_mask_odd, omega_primal_limbs),
-            Y_even=psd_init(bk.psd_mask_even, omega_dual_limbs),
-            Y_odd=psd_init(bk.psd_mask_odd, omega_dual_limbs),
+            x=mp.zeros((B, sh.schur_size), K, dtype, scaled=scaled),
+            X_even=psd_init(bk.psd_mask_even, omega_primal),
+            X_odd=psd_init(bk.psd_mask_odd, omega_primal),
+            Y_even=psd_init(bk.psd_mask_even, omega_dual),
+            Y_odd=psd_init(bk.psd_mask_odd, omega_dual),
         ))
-    return SolverState(y=mp.zeros((sdp.dual_dim,), K, dtype), buckets=buckets)
+    return SolverState(y=mp.zeros((sdp.dual_dim,), K, dtype, scaled=scaled),
+                       buckets=buckets)

@@ -40,9 +40,17 @@ def _pmax(x, axis):
 
 def _psum_mp(x: MP, axis) -> MP:
     """Sum an MP value across devices.  Limb-wise psum would break
-    non-overlap only mildly; we re-renormalize afterwards for safety."""
+    non-overlap only mildly; we re-renormalize afterwards for safety.
+    Scaled mode first aligns every shard onto the global max exponent
+    (the exact-power-of-two analog of synchronize_Q's serialized BigFloat
+    adds, synchronize_Q.cxx:110-113)."""
     if not axis:
         return x
+    if x.scaled:
+        e = jax.lax.pmax(x.exp, axis)
+        x = mp.align_mantissa(x, e)
+        limbs = jax.lax.psum(x.limbs, axis)
+        return mp.renorm([limbs[i] for i in range(limbs.shape[0])], x.K, exp=e)
     limbs = jax.lax.psum(x.limbs, axis)
     return mp.renorm([limbs[i] for i in range(limbs.shape[0])], x.K)
 
@@ -66,14 +74,12 @@ def _pairs(dim):
 
 
 def _mask_mp(x: MP, mask, extra_dims: int) -> MP:
-    m = mask.reshape((1,) + mask.shape + (1,) * extra_dims)
-    return MP(x.limbs * m.astype(x.dtype))
+    return mp.mask_value(x, mask.reshape(mask.shape + (1,) * extra_dims))
 
 
 def _row_mask_mp(x: MP, row_mask) -> MP:
     """Mask constraint rows: x [B, P, ...] by row_mask [B, P]."""
-    m = row_mask.reshape((1,) + row_mask.shape + (1,) * (x.ndim - 2))
-    return MP(x.limbs * m.astype(x.dtype))
+    return mp.mask_value(x, row_mask.reshape(row_mask.shape + (1,) * (x.ndim - 2)))
 
 
 def _psd_outer_masks(bucket: Bucket):
@@ -91,11 +97,21 @@ def _psd_outer_masks(bucket: Bucket):
 
 def _mask_psd(x: MP, outer_mask) -> MP:
     """x [B, n, n] masked elementwise by outer_mask [B, n, n]."""
-    return MP(x.limbs * outer_mask[None].astype(x.dtype))
+    return mp.mask_value(x, outer_mask)
 
 
-def _scalar_mp(x: float, K, dtype) -> MP:
-    return mp.from_double(np.float64(x), K, dtype)
+def _scalar_mp(x: float, K, dtype, scaled: bool = False) -> MP:
+    return mp.from_double(np.float64(x), K, dtype, scaled=scaled)
+
+
+def _host_mp(parts, dtype) -> MP:
+    """Device MP from host parts: a [K] limb array (classic) or a
+    (limbs [K], exp scalar) pair (scaled); see StepConfig."""
+    if isinstance(parts, tuple):
+        limbs, exp = parts
+        return MP(jnp.asarray(limbs, dtype=dtype),
+                  jnp.asarray(exp, dtype=jnp.int32))
+    return MP(jnp.asarray(parts, dtype=dtype))
 
 
 def _bases(bucket: Bucket):
@@ -118,13 +134,13 @@ def _psd_pair(bs: BucketState, attr_even: str, attr_odd: str, shape):
 
 
 class IterationStats(NamedTuple):
-    primal_objective: jnp.ndarray  # MP limbs [K]
-    dual_objective: jnp.ndarray
-    duality_gap: jnp.ndarray
+    primal_objective: MP           # scalar MP
+    dual_objective: MP
+    duality_gap: MP
     primal_error_P: jnp.ndarray    # base scalar
     primal_error_p: jnp.ndarray
     dual_error: jnp.ndarray
-    mu: jnp.ndarray                # MP limbs [K]
+    mu: MP                         # scalar MP
     primal_step: jnp.ndarray       # base scalar
     dual_step: jnp.ndarray
     beta_corrector: jnp.ndarray    # base scalar
@@ -162,9 +178,7 @@ def _compute_pairings(bucket: Bucket, X_solvers, Ys: List[MP], n_refine: int):
 def _gather_pairs(T: MP, idx1, idx2) -> MP:
     """T[B,m,np,m,np] -> G[B,npairs,np,npairs,np] with
     G[p1,k1,p2,k2] = T[idx1[p1],k1,idx2[p2],k2]."""
-    t = jnp.take(T.limbs, idx1, axis=2)
-    t = jnp.take(t, idx2, axis=4)
-    return MP(t)
+    return mp.take(mp.take(T, idx1, axis=1), idx2, axis=3)
 
 
 def _schur_complement(bucket: Bucket, TXs, TYs) -> MP:
@@ -199,8 +213,10 @@ def _schur_complement(bucket: Bucket, TXs, TYs) -> MP:
     # and padded dx solve to exactly 0.
     rm = bucket.row_mask.astype(S.dtype)
     eye = jnp.eye(P, dtype=S.dtype)
-    S = MP(S.limbs * (rm[:, :, None] * rm[:, None, :]))
-    S = MP(S.limbs.at[0].add(eye * (1.0 - rm)[:, :, None]))
+    S = mp.mask_value(S, rm[:, :, None] * rm[:, None, :])
+    pad_diag = (eye[None] * (1.0 - rm)[:, :, None]) > 0
+    one = _scalar_mp(1.0, S.K, S.dtype, scaled=S.scaled)
+    S = mp.where(pad_diag, mp.broadcast_to(one, S.shape), S)
     return S
 
 
@@ -217,19 +233,23 @@ def _constraint_matrix_weighted_sum(bucket: Bucket, a: MP):
     for basis, emb in _bases(bucket):
         h = basis.shape[-2]
         # W[b,pair,h,np] = basis[b,h,np] * a[b,pair,np]
-        W = mp.mul(MP(basis.limbs[:, :, None, :, :]), MP(a4.limbs[:, :, :, None, :]))
-        bT = MP(basis.mT.limbs[:, :, None, :, :])   # [B,1,np,h]
+        W = mp.mul(mp.expand_dims(basis, 1), mp.expand_dims(a4, 2))
+        bT = mp.expand_dims(basis.mT, 1)             # [B,1,np,h]
         Ssub = linalg.matmul(W, bT)                  # [B,npairs,h,h]
-        out = mp.zeros((B, sh.dim * h, sh.dim * h), a.K, a.dtype)
-        ol = out.limbs
+        out = mp.zeros((B, sh.dim * h, sh.dim * h), a.K, a.dtype,
+                       scaled=a.scaled)
         for p, (s, r) in enumerate(prs):
             blk = Ssub[:, p]
             if s != r:
                 blk = mp.mul_pow2(blk, np.float64(0.5))
-            ol = ol.at[:, :, r * h:(r + 1) * h, s * h:(s + 1) * h].set(blk.limbs)
+            out = mp.set_block(
+                out, (slice(None), slice(r * h, (r + 1) * h),
+                      slice(s * h, (s + 1) * h)), blk)
             if s != r:
-                ol = ol.at[:, :, s * h:(s + 1) * h, r * h:(r + 1) * h].set(blk.mT.limbs)
-        results.append(MP(ol))
+                out = mp.set_block(
+                    out, (slice(None), slice(s * h, (s + 1) * h),
+                          slice(r * h, (r + 1) * h)), blk.mT)
+        results.append(out)
     return results
 
 
@@ -247,8 +267,8 @@ def _trace_Ap(bucket: Bucket, Zs: List[MP]) -> MP:
             Zsub = Z[:, r * h:(r + 1) * h, s * h:(s + 1) * h]    # [B,h,h]
             t = linalg.matmul(Zsub, basis)                       # [B,h,np]
             q = mp.sum_(mp.mul(t, basis), axis=1)                # [B,np]
-            per_pair.append(q.limbs)
-        contrib = MP(jnp.stack(per_pair, axis=2))                # [B,npairs,np]
+            per_pair.append(q)
+        contrib = mp.stack(per_pair, axis=1)                     # [B,npairs,np]
         contrib = contrib.reshape((B, sh.schur_size))
         total = contrib if total is None else mp.add(total, contrib)
     return total
@@ -268,8 +288,9 @@ def _step_length_lambda(solvers, dMs: List[MP], mask, axis):
         dM_lo = mp.round_to(dM, sol.Kf)
         # the factor is of the equilibrated matrix D M D, whose Cholesky is
         # L~ with L = D^{-1} L~; the congruence needs D dM D
-        dM_s = MP(dM_lo.limbs * (sol.scale[..., :, None] * sol.scale[..., None, :]))
-        W = linalg.solve_lower(sol.L, dM_s, sol.dinv)
+        if sol.scale is not None:
+            dM_lo = MP(dM_lo.limbs * (sol.scale[..., :, None] * sol.scale[..., None, :]))
+        W = linalg.solve_lower(sol.L, dM_lo, sol.dinv)
         T = linalg.solve_lower(sol.L, W.mT, sol.dinv)
         lmin = linalg.min_eigenvalue_estimate(T)     # [B]
         lmin = jnp.where(mask > 0, lmin, 0.0)
@@ -323,9 +344,10 @@ def make_iteration(cfg: StepConfig):
     def iteration(sdp: DeviceSDP, state: SolverState):
         K = sdp.b.K
         dtype = sdp.b.dtype
-        beta_feas = MP(jnp.asarray(cfg.feasible_beta_limbs, dtype=dtype))
-        beta_infeas = MP(jnp.asarray(cfg.infeasible_beta_limbs, dtype=dtype))
-        one = _scalar_mp(1.0, K, dtype)
+        scaled = sdp.b.scaled
+        beta_feas = _host_mp(cfg.feasible_beta_limbs, dtype)
+        beta_infeas = _host_mp(cfg.infeasible_beta_limbs, dtype)
+        one = _scalar_mp(1.0, K, dtype, scaled)
         # ---- objectives (compute_objectives.cxx:10-31)
         p_obj = sdp.objective_const
         for bk, bs in zip(sdp.buckets, state.buckets):
@@ -366,10 +388,9 @@ def make_iteration(cfg: StepConfig):
             for TY in TYs:
                 per_pair = []
                 for (s, r) in prs:
-                    sub = MP(TY.limbs[:, :, r, :, s, :])          # [B,np,np]
-                    d = MP(jnp.diagonal(sub.limbs, axis1=-2, axis2=-1))  # [B,np]
-                    per_pair.append(d.limbs)
-                contrib = MP(jnp.stack(per_pair, axis=2)).reshape((B, sh.schur_size))
+                    sub = TY[:, r, :, s, :]                       # [B,np,np]
+                    per_pair.append(mp.diagonal(sub))             # [B,np]
+                contrib = mp.stack(per_pair, axis=1).reshape((B, sh.schur_size))
                 diag_sum = contrib if diag_sum is None else mp.add(diag_sum, contrib)
             By = linalg.matvec(bk.Bmat, state.y)
             res = mp.sub(mp.sub(bk.c, diag_sum), By)
@@ -396,10 +417,10 @@ def make_iteration(cfg: StepConfig):
 
         # ---- primal residue p = b - B^T x
         #      (compute_primal_residues_and_error_p_b_Bx.cxx)
-        Btx = mp.zeros((sdp.dual_dim,), K, dtype)
+        Btx = mp.zeros((sdp.dual_dim,), K, dtype, scaled=scaled)
         for bk, bs in zip(sdp.buckets, state.buckets):
             xm = _row_mask_mp(bs.x, bk.row_mask)
-            t = linalg.matmul(bk.Bmat.mT, MP(xm.limbs[..., None]))[..., 0]  # [B,N]
+            t = linalg.matmul(bk.Bmat.mT, linalg.col(xm))[..., 0]  # [B,N]
             Btx = mp.add(Btx, mp.sum_(t, axis=0))
         Btx = _psum_mp(Btx, axis)
         primal_residue_p = mp.sub(sdp.b, Btx)
@@ -414,7 +435,7 @@ def make_iteration(cfg: StepConfig):
         # ---- Schur complement solver init
         #      (initialize_schur_complement_solver.cxx:61-103)
         S_solvers, SinvBs = [], []
-        Q = mp.zeros((sdp.dual_dim, sdp.dual_dim), K, dtype)
+        Q = mp.zeros((sdp.dual_dim, sdp.dual_dim), K, dtype, scaled=scaled)
         for bk, TXs, TYs in zip(sdp.buckets, TXs_all, TYs_all):
             S = _schur_complement(bk, TXs, TYs)
             ssol = linalg.PosdefSolver(S, cfg.factor_limbs)
@@ -437,7 +458,7 @@ def make_iteration(cfg: StepConfig):
                 t = mp.sum_(linalg.frobenius(_mask_psd(X, om), Y), axis=0)
                 trXY = t if trXY is None else mp.add(trXY, t)
         trXY = _psum_mp(trXY, axis)
-        mu = mp.div(trXY, _scalar_mp(float(cfg.total_psd_rows), K, dtype))
+        mu = mp.div(trXY, _scalar_mp(float(cfg.total_psd_rows), K, dtype, scaled))
         # clamp to the limb dtype's range (1e100 overflows float32 to inf)
         max_comp = min(cfg.max_complementarity, float(np.finfo(dtype).max))
         max_comp_exceeded = mp.to_float_array(mu) > max_comp
@@ -451,8 +472,9 @@ def make_iteration(cfg: StepConfig):
         # traced and compiled ONCE instead of twice.  Step 0 reproduces the
         # predictor bitwise: the correction term is scaled by 0 and beta
         # selects beta_predictor (predictor_centering_parameter.cxx:4-9).
-        beta_pred = mp.where(is_pd_feasible, mp.zeros((), K, dtype), beta_infeas)
-        total_mp = _scalar_mp(float(cfg.total_psd_rows), K, dtype)
+        beta_pred = mp.where(is_pd_feasible, mp.zeros((), K, dtype, scaled=scaled),
+                             beta_infeas)
+        total_mp = _scalar_mp(float(cfg.total_psd_rows), K, dtype, scaled)
 
         def pc_body(carry, step_idx):
             dXs_p, dYs_p, _, _, _ = carry
@@ -489,12 +511,11 @@ def make_iteration(cfg: StepConfig):
                 Rs, Zs = [], []
                 for ip, (X, Y) in enumerate(zip(Xs, Ys)):
                     # R = beta mu I - X Y - [corrector] dX dY
-                    R = MP(-linalg.matmul(X, Y).limbs)
+                    R = mp.neg(linalg.matmul(X, Y))
                     corr = linalg.matmul(dXs_p[i][ip], dYs_p[i][ip])
-                    R = mp.sub(R, MP(corr.limbs * corr_scale))
+                    R = mp.sub(R, mp.mask_value(corr, corr_scale))
                     n = R.shape[-1]
-                    eye = jnp.eye(n, dtype=dtype)
-                    R = mp.add(R, MP(bmu.limbs[:, None, None] * eye))
+                    R = mp.add(R, mp.scalar_eye(bmu, n))
                     # Z = Symmetrize(X^{-1}(P Y - R))
                     Z = mp.sub(linalg.matmul(primal_residues[i][ip], Y), R)
                     Z = X_solvers[i][ip].solve(Z, cfg.n_refine)
@@ -504,21 +525,21 @@ def make_iteration(cfg: StepConfig):
                 Rs_all.append(Rs)
                 # dx rhs = -dual_residues - Tr(A_p Z) (compute_schur_RHS.cxx)
                 trAZ = _trace_Ap(bk, Zs)
-                dxs.append(MP(-mp.add(dual_residues[i], trAZ).limbs))
+                dxs.append(mp.neg(mp.add(dual_residues[i], trAZ)))
 
             # solve {{S,-B},{B^T,0}} (solve_schur_complement_equation.cxx):
             # u = S^{-1} rhs;  dy = Q^{-1}(p - B^T u);  dx = u + (S^{-1}B) dy
             us = []
-            dy_local = mp.zeros((sdp.dual_dim,), K, dtype)
+            dy_local = mp.zeros((sdp.dual_dim,), K, dtype, scaled=scaled)
             for i, bk in enumerate(sdp.buckets):
-                u = S_solvers[i].solve(MP(dxs[i].limbs[..., None]), cfg.n_refine)
+                u = S_solvers[i].solve(linalg.col(dxs[i]), cfg.n_refine)
                 us.append(u)
                 t = linalg.matmul(bk.Bmat.mT, u)[..., 0]       # [B,N]
                 dy_local = mp.add(dy_local, mp.sum_(t, axis=0))
             dy = mp.sub(primal_residue_p, _psum_mp(dy_local, axis))
-            dy = Q_solver.solve(MP(dy.limbs[..., None]), cfg.n_refine)[..., 0]
+            dy = Q_solver.solve(linalg.col(dy), cfg.n_refine)[..., 0]
             for i, bk in enumerate(sdp.buckets):
-                dx = mp.add(us[i], linalg.matmul(SinvBs[i], MP(dy.limbs[..., None])))[..., 0]
+                dx = mp.add(us[i], linalg.matmul(SinvBs[i], linalg.col(dy)))[..., 0]
                 dx = _row_mask_mp(dx, bk.row_mask)
                 dxs[i] = dx
 
@@ -534,7 +555,7 @@ def make_iteration(cfg: StepConfig):
                     dX = _mask_psd(dX, oms[ip])
                     dY = mp.sub(linalg.matmul(dX, Ys[ip]), Rs_all[i][ip])
                     dY = X_solvers[i][ip].solve(dY, cfg.n_refine)
-                    dY = MP(-linalg.symmetrize(dY).limbs)
+                    dY = mp.neg(linalg.symmetrize(dY))
                     dY = _mask_psd(dY, oms[ip])
                     bdX.append(dX)
                     bdY.append(dY)
@@ -543,15 +564,16 @@ def make_iteration(cfg: StepConfig):
             return (dXs, dYs, dxs, dy, beta), None
 
         def zeros_like_psd(bs, bk):
-            return [mp.zeros(X.shape, K, dtype)
+            return [mp.zeros(X.shape, K, dtype, scaled=scaled)
                     for X in _psd_pair(bs, "X_even", "X_odd", bk.shape)]
 
         carry0 = (
             [zeros_like_psd(bs, bk) for bk, bs in zip(sdp.buckets, state.buckets)],
             [zeros_like_psd(bs, bk) for bk, bs in zip(sdp.buckets, state.buckets)],
-            [mp.zeros((bk.batch, bk.shape.schur_size), K, dtype) for bk in sdp.buckets],
-            mp.zeros((sdp.dual_dim,), K, dtype),
-            mp.zeros((), K, dtype),
+            [mp.zeros((bk.batch, bk.shape.schur_size), K, dtype, scaled=scaled)
+             for bk in sdp.buckets],
+            mp.zeros((sdp.dual_dim,), K, dtype, scaled=scaled),
+            mp.zeros((), K, dtype, scaled=scaled),
         )
         (dXs, dYs, dxs, dy, beta_corr), _ = jax.lax.scan(
             pc_body, carry0, jnp.arange(2))
@@ -572,10 +594,8 @@ def make_iteration(cfg: StepConfig):
         dual_step = jnp.where(is_pd_feasible, both, dual_step)
 
         # ---- update (step.cxx:146-162)
-        ap = MP(jnp.concatenate([primal_step[None].astype(dtype),
-                                 jnp.zeros((K - 1,), dtype)], axis=0))
-        ad = MP(jnp.concatenate([dual_step[None].astype(dtype),
-                                 jnp.zeros((K - 1,), dtype)], axis=0))
+        ap = mp.from_double(primal_step, K, dtype, scaled=scaled)
+        ad = mp.from_double(dual_step, K, dtype, scaled=scaled)
         new_buckets = []
         for i, (bk, bs) in enumerate(zip(sdp.buckets, state.buckets)):
             x_new = mp.add(bs.x, mp.mul(ap, dxs[i]))
@@ -599,13 +619,13 @@ def make_iteration(cfg: StepConfig):
         new_state = SolverState(y=y_new, buckets=new_buckets)
 
         stats = IterationStats(
-            primal_objective=p_obj.limbs,
-            dual_objective=d_obj.limbs,
-            duality_gap=duality_gap.limbs,
+            primal_objective=p_obj,
+            dual_objective=d_obj,
+            duality_gap=duality_gap,
             primal_error_P=primal_error_P,
             primal_error_p=primal_error_p,
             dual_error=dual_error,
-            mu=mu.limbs,
+            mu=mu,
             primal_step=primal_step,
             dual_step=dual_step,
             beta_corrector=mp.to_float_array(beta_corr),

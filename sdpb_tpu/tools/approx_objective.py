@@ -13,7 +13,7 @@ step (setup_solver.cxx analog).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +27,65 @@ from ..solver.step import (_bases, _compute_pairings, _psd_pair,
                            _row_mask_mp, _schur_complement)
 
 
+class FrozenSchur(NamedTuple):
+    """The frozen Schur solver of a solved SDP: everything the quadratic
+    approximation's (dx, dy) solve needs, serializable for reuse across
+    invocations (the --writeSolverState state of
+    /root/reference/src/approx_objective/setup_solver.cxx:40-52 /
+    write_solver_state.cxx; there: schur_complement_cholesky_*,
+    schur_off_diagonal_* = L^{-1}B, Q_cholesky.txt)."""
+    Ss: List[MP]        # per-bucket S [B, P, P] (refinement residuals)
+    S_Ls: List[MP]      # per-bucket S-Cholesky factors (factor precision)
+    S_dinvs: List[MP]   # per-bucket factor diagonal reciprocals
+    SinvBs: List[MP]    # per-bucket S^{-1} B [B, P, N]
+    Q: MP               # [N, N]
+    Q_L: MP
+    Q_dinv: MP
+
+
+def make_setup_fn(factor_limbs: int, n_refine: int):
+    """Jitted (sdp, state) -> FrozenSchur: the expensive part of the
+    quadratic approximation, computed once and reusable across many
+    --newSdp invocations (setup_solver.cxx analog)."""
+
+    def setup(sdp: DeviceSDP, state: SolverState) -> FrozenSchur:
+        K = sdp.b.K
+        dtype = sdp.b.dtype
+        X_solvers = []
+        for bk, bs in zip(sdp.buckets, state.buckets):
+            Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
+            X_solvers.append(
+                [linalg.PosdefSolver(X, factor_limbs) for X in Xs])
+        Ss, S_Ls, S_dinvs, SinvBs = [], [], [], []
+        Q = mp.zeros((sdp.dual_dim, sdp.dual_dim), K, dtype,
+                     scaled=sdp.b.scaled)
+        for bk, bs, xsols in zip(sdp.buckets, state.buckets, X_solvers):
+            Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
+            TXs, TYs = _compute_pairings(bk, xsols, Ys, n_refine)
+            S = _schur_complement(bk, TXs, TYs)
+            ssol = linalg.PosdefSolver(S, factor_limbs)
+            V = ssol.solve(bk.Bmat, n_refine)
+            Ss.append(S)
+            S_Ls.append(ssol.L)
+            S_dinvs.append(ssol.dinv)
+            SinvBs.append(V)
+            Q = mp.add(Q, mp.sum_(linalg.matmul(bk.Bmat.mT, V), axis=0))
+        Q = linalg.symmetrize(Q)
+        qsol = linalg.PosdefSolver(Q, factor_limbs)
+        return FrozenSchur(Ss=Ss, S_Ls=S_Ls, S_dinvs=S_dinvs, SinvBs=SinvBs,
+                           Q=Q, Q_L=qsol.L, Q_dinv=qsol.dinv)
+
+    return setup
+
+
 def make_approx_fn(factor_limbs: int, n_refine: int):
     """Build the jitted function
-    (sdp, state, d_const, d_b, d_c_buckets, d_B_buckets, linear_only)
-    -> (objective, d_objective, dd_objective) MP limbs."""
+    (sdp, state, frozen, d_const, d_b, d_c_buckets, d_B_buckets, quadratic)
+    -> (objective, d_objective, dd_objective) MP scalars.  `frozen` is the
+    FrozenSchur from make_setup_fn (pass None for --linear)."""
 
-    def approx(sdp: DeviceSDP, state: SolverState, d_const: MP, d_b: MP,
+    def approx(sdp: DeviceSDP, state: SolverState,
+               frozen: Optional[FrozenSchur], d_const: MP, d_b: MP,
                d_cs: List[MP], d_Bs: List[MP], quadratic: bool):
         K = sdp.b.K
         dtype = sdp.b.dtype
@@ -48,27 +101,14 @@ def make_approx_fn(factor_limbs: int, n_refine: int):
             dBy = linalg.matvec(dB, state.y)            # [B, P]
             d_obj = mp.sub(d_obj, mp.sum_(mp.mul(dBy, xm), axis=None))
 
-        dd_obj = mp.zeros((), K, dtype)
+        dd_obj = mp.zeros((), K, dtype, scaled=sdp.b.scaled)
         if quadratic:
-            # rebuild the frozen Schur solver from (X, Y)
-            X_solvers = []
-            for bk, bs in zip(sdp.buckets, state.buckets):
-                Xs = _psd_pair(bs, "X_even", "X_odd", bk.shape)
-                X_solvers.append(
-                    [linalg.PosdefSolver(X, factor_limbs) for X in Xs])
-            S_solvers, SinvBs = [], []
-            Q = mp.zeros((sdp.dual_dim, sdp.dual_dim), K, dtype)
-            for bk, bs, xsols in zip(sdp.buckets, state.buckets, X_solvers):
-                Ys = _psd_pair(bs, "Y_even", "Y_odd", bk.shape)
-                TXs, TYs = _compute_pairings(bk, xsols, Ys, n_refine)
-                S = _schur_complement(bk, TXs, TYs)
-                ssol = linalg.PosdefSolver(S, factor_limbs)
-                V = ssol.solve(bk.Bmat, n_refine)
-                S_solvers.append(ssol)
-                SinvBs.append(V)
-                Q = mp.add(Q, mp.sum_(linalg.matmul(bk.Bmat.mT, V), axis=0))
-            Q = linalg.symmetrize(Q)
-            Q_solver = linalg.PosdefSolver(Q, factor_limbs)
+            S_solvers = [
+                linalg.PosdefSolver.from_parts(S, L, dinv, factor_limbs)
+                for S, L, dinv in zip(frozen.Ss, frozen.S_Ls, frozen.S_dinvs)]
+            SinvBs = frozen.SinvBs
+            Q_solver = linalg.PosdefSolver.from_parts(
+                frozen.Q, frozen.Q_L, frozen.Q_dinv, factor_limbs)
 
             # RHS: dx_rhs = dB.y - dc ; dy_rhs = db - sum dB^T x
             dx_rhss = []
@@ -97,7 +137,8 @@ def make_approx_fn(factor_limbs: int, n_refine: int):
                 dxs.append(_row_mask_mp(dx, bk.row_mask))
 
             # quadratic terms
-            half = mp.from_double(np.float64(0.5), K, dtype)
+            half = mp.from_double(np.float64(0.5), K, dtype,
+                                  scaled=sdp.b.scaled)
             dd_obj = mp.mul(mp.dot(d_b, dy), half)
             for bk, bs, dc, dB, dx in zip(sdp.buckets, state.buckets, d_cs,
                                           d_Bs, dxs):
@@ -112,9 +153,55 @@ def make_approx_fn(factor_limbs: int, n_refine: int):
                     mp.sum_(mp.mul(dBdy, xm), axis=None), half))
 
         total = mp.add(mp.add(objective, d_obj), dd_obj)
-        return total.limbs, d_obj.limbs, dd_obj.limbs
+        return total, d_obj, dd_obj
 
     return approx
+
+
+def save_solver_state(path, frozen: FrozenSchur, factor_limbs: int) -> None:
+    """Serialize a FrozenSchur to one .npz (the --writeSolverState analog;
+    write_solver_state.cxx writes text blocks per rank — here one
+    layout-independent archive)."""
+    arrays = {"__factor_limbs": np.asarray(factor_limbs)}
+
+    def put(name, a: MP):
+        arrays[name] = np.asarray(a.limbs)
+        if a.scaled:
+            arrays[name + ".exp"] = np.asarray(a.exp)
+
+    for i in range(len(frozen.Ss)):
+        put(f"S_{i}", frozen.Ss[i])
+        put(f"S_L_{i}", frozen.S_Ls[i])
+        put(f"S_dinv_{i}", frozen.S_dinvs[i])
+        put(f"SinvB_{i}", frozen.SinvBs[i])
+    put("Q", frozen.Q)
+    put("Q_L", frozen.Q_L)
+    put("Q_dinv", frozen.Q_dinv)
+    np.savez(path, **arrays)
+
+
+def load_solver_state(path) -> Optional[tuple]:
+    """(FrozenSchur, factor_limbs) from save_solver_state's npz, or None."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+
+    def get(name):
+        limbs = jnp.asarray(data[name])
+        e = name + ".exp"
+        exp = jnp.asarray(data[e]) if e in data.files else None
+        return MP(limbs, exp)
+
+    nb = sum(1 for k in data.files if k.startswith("S_L_"))
+    frozen = FrozenSchur(
+        Ss=[get(f"S_{i}") for i in range(nb)],
+        S_Ls=[get(f"S_L_{i}") for i in range(nb)],
+        S_dinvs=[get(f"S_dinv_{i}") for i in range(nb)],
+        SinvBs=[get(f"SinvB_{i}") for i in range(nb)],
+        Q=get("Q"), Q_L=get("Q_L"), Q_dinv=get("Q_dinv"))
+    return frozen, int(data["__factor_limbs"])
 
 
 def sdp_delta_buckets(sdp_dev: DeviceSDP, host_old, host_new, K, np_dtype):

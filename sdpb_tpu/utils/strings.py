@@ -57,6 +57,34 @@ def strs_to_limbs(strings, K: int, np_dtype) -> np.ndarray:
     return out
 
 
+def str_to_scaled_limbs(s: str, K: int):
+    """Parse one decimal string -> (float32 limbs [K], int32 exp scalar) in
+    the scaled (exponent-tracked) representation used on TPU."""
+    from ..ops.mpfloat import f64_limbs_to_scaled_parts
+
+    K64 = -(-(24 * K) // 53) + 1
+    l64 = str_to_limbs(s, K64, np.float64)
+    limbs, exp = f64_limbs_to_scaled_parts(l64.reshape(K64, 1), K)
+    return limbs[:, 0], exp[0]
+
+
+def scaled_limbs_to_mpf(limbs, exp) -> mpmath.mpf:
+    """Exact mpmath value of a scaled (limbs [K], exp int) number."""
+    prec = 30 * len(limbs) + 64
+    with mpmath.workprec(prec):
+        acc = mpmath.mpf(0)
+        for l in np.asarray(limbs, dtype=np.float64):
+            acc = acc + mpmath.mpf(float(l))
+        return acc * mpmath.power(2, int(exp))
+
+
+def mp_host_to_mpf(mp_host) -> mpmath.mpf:
+    """mpmath value of a host (numpy-leaved) scalar MP in either mode."""
+    if getattr(mp_host, "exp", None) is not None:
+        return scaled_limbs_to_mpf(mp_host.limbs, mp_host.exp)
+    return limbs_to_mpf(mp_host.limbs)
+
+
 def limbs_to_mpf(limbs) -> mpmath.mpf:
     """Exact mpmath value of a single K-limb number (host numpy input)."""
     prec = 60 * len(limbs) + 64

@@ -52,7 +52,8 @@ def test_approx_objective_quadratic(tmp_path):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = approx_main(["--sdp", str(old_zip), "--newSdp", str(new_zip),
-                          "--precision", "150", "--solutionDir", str(out_dir)])
+                          "--precision", "150", "--solutionDir", str(out_dir),
+                          "--writeSolverState"])
     assert rc == 0
     result = json.loads(buf.getvalue())[0]
     with mpmath.workprec(250):
@@ -62,6 +63,19 @@ def test_approx_objective_quadratic(tmp_path):
         # the quadratic term itself is nonzero and small
         dd = abs(mpmath.mpf(result["dd_objective"]))
         assert mpmath.mpf(0) < dd < mpmath.mpf("1e-9")
+
+    # --writeSolverState reuse: the state file exists and a second
+    # invocation (which loads it instead of rebuilding the Schur solver)
+    # reproduces the result exactly (setup_solver.cxx:40-52 analog)
+    assert (out_dir / "solver_state.npz").exists()
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = approx_main(["--sdp", str(old_zip), "--newSdp", str(new_zip),
+                          "--precision", "150", "--solutionDir", str(out_dir)])
+    assert rc == 0
+    result2 = json.loads(buf2.getvalue())[0]
+    assert result2["objective"] == result["objective"]
+    assert result2["dd_objective"] == result["dd_objective"]
 
 
 def test_planner_block_grid_mapping():

@@ -65,8 +65,8 @@ def test_quantized_matches_exact():
     assert sdp_q.total_psd_rows == sdp_e.total_psd_rows
 
     for name in ("primal_objective", "dual_objective", "duality_gap", "mu"):
-        a = np.asarray(getattr(stats_e, name), dtype=np.float64).sum()
-        b = np.asarray(getattr(stats_q, name), dtype=np.float64).sum()
+        a = np.asarray(getattr(stats_e, name).limbs, dtype=np.float64).sum()
+        b = np.asarray(getattr(stats_q, name).limbs, dtype=np.float64).sum()
         assert np.isclose(a, b, rtol=1e-12, atol=1e-30), (name, a, b)
     for name in ("primal_error_P", "primal_error_p", "dual_error",
                  "primal_step", "dual_step", "beta_corrector"):

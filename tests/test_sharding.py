@@ -72,8 +72,8 @@ def test_sharded_iteration_matches_single_device():
     # to MP roundoff; collapsing limbs to f64 for comparison bounds the
     # observable granularity at ~1e-16 relative.
     for name in ("primal_objective", "dual_objective", "duality_gap", "mu"):
-        a = np.asarray(getattr(stats1, name), dtype=np.float64).sum()
-        b = np.asarray(getattr(stats2, name), dtype=np.float64).sum()
+        a = np.asarray(getattr(stats1, name).limbs, dtype=np.float64).sum()
+        b = np.asarray(getattr(stats2, name).limbs, dtype=np.float64).sum()
         assert np.isclose(a, b, rtol=1e-12, atol=1e-30), (name, a, b)
     for name in ("primal_error_P", "primal_error_p", "dual_error",
                  "primal_step", "dual_step"):
