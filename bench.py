@@ -139,6 +139,13 @@ def main():
     sys.path.insert(0, REPO)
     import jax
 
+    cache = os.environ.get("SDPB_TPU_CACHE",
+                           os.path.expanduser("~/.cache/sdpb_tpu/xla"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     platform = jax.devices()[0].platform
     if platform == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")

@@ -16,7 +16,8 @@ import numpy as np
 
 
 def convert(input_path, output_path, precision: int,
-            block_format: str = "bin", command: str = "") -> int:
+            block_format: str = "bin", command: str = "",
+            procs: int = 1) -> int:
     from ..convert.dual_constraint_group import assemble_sdp
     from ..convert.pmp import read_pmp_input, reduce_pmp
     from ..io.sdp_zip import write_sdp
@@ -27,7 +28,7 @@ def convert(input_path, output_path, precision: int,
             raise ValueError("PMP input must define objective and normalization")
         objective_const, b, pvms = reduce_pmp(objective, normalization, matrices)
         K = max(2, -(-precision // 53))
-        sdp = assemble_sdp(objective_const, b, pvms, K, np.float64)
+        sdp = assemble_sdp(objective_const, b, pvms, K, np.float64, procs=procs)
         write_sdp(output_path, sdp, command=command,
                   block_format=block_format, precision=precision)
     return len(pvms)
@@ -43,10 +44,14 @@ def main(argv=None) -> int:
     p.add_argument("--precision", type=int, required=True,
                    help="Working precision in bits")
     p.add_argument("--outputFormat", choices=["bin", "json"], default="bin")
+    p.add_argument("--procs", type=int, default=1,
+                   help="Sample blocks in a process pool (the reference "
+                        "round-robins blocks over MPI ranks)")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
     n = convert(args.input, args.output, args.precision, args.outputFormat,
-                command="sdp2input " + " ".join(sys.argv[1:]))
+                command="sdp2input " + " ".join(sys.argv[1:]),
+                procs=args.procs)
     print(f"wrote {n} blocks to {args.output}")
     return 0
 

@@ -47,6 +47,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JAX platform: 'cpu' forces host execution (float64 "
                         "limbs); 'auto' uses the default backend (TPU when "
                         "available, float32 limbs).")
+    p.add_argument("--timingRun", choices=["auto", "never"], default="auto",
+                   help="'auto' (default): when checkpointDir has no "
+                        "block_timings.json, measure candidate bucketing "
+                        "policies over 2 iterations and persist the result "
+                        "(the reference's timing-run flow, main.cxx:50-91); "
+                        "'never' skips measurement.")
+    p.add_argument("--coordinator", default=None,
+                   help="Multi-host: coordinator address host:port for "
+                        "jax.distributed (or env JAX_COORDINATOR_ADDRESS). "
+                        "All processes join one mesh spanning every host's "
+                        "devices; the reference's MPI plane analog.")
+    p.add_argument("--numProcesses", type=int, default=None,
+                   help="Multi-host: total process count (JAX_NUM_PROCESSES).")
+    p.add_argument("--processId", type=int, default=None,
+                   help="Multi-host: this process's id (JAX_PROCESS_ID).")
     add_solver_options(p)
     return p
 
@@ -62,7 +77,15 @@ def main(argv=None) -> int:
     initial_ck = Path(args.initialCheckpointDir) if args.initialCheckpointDir else ck_dir
 
     dtype, np_dtype = setup_backend(force_cpu=(args.platform == "cpu"))
+    from ..parallel import distributed
+
+    distributed.initialize(args.coordinator, args.numProcesses, args.processId)
     import jax
+
+    # one writer/printer per job: non-coordinator processes run the same
+    # SPMD program silently (the reference's rank-0 pattern, run.cxx:125)
+    if jax.process_index() != 0:
+        args.verbosity = 0
 
     from ..io.sdp_zip import read_sdp
     from ..io.solution import WriteSolution, save_solution
@@ -92,27 +115,62 @@ def main(argv=None) -> int:
     with timers.scope("read_sdp"):
         host = read_sdp(sdp_path, K, np_dtype)
 
+    # timing run (reference: src/sdpb/main.cxx:50-91 — 2-iteration measured
+    # costs drive block allocation): measure once, persist in the checkpoint
+    # dir, reuse thereafter
+    from ..parallel.timing import load_timings, save_timings, timing_run
+
+    timings = load_timings(ck_dir)
+    # multihost: wall-clock measurements can disagree across processes and
+    # would fork the SPMD program — only a pre-existing (shared-FS) timings
+    # file is honored there, like the reference's root-decides pattern
+    if (timings is None and args.timingRun != "never"
+            and host.num_blocks > 1 and jax.process_count() == 1):
+        if verbosity >= 1:
+            print("no block timings found; running 2-iteration timing run "
+                  "(persisted to checkpointDir/block_timings.json)")
+        timings = timing_run(host, params, verbosity=verbosity)
+        save_timings(ck_dir, timings)
+    policy, quant, block_costs = "quantized", 8, None
+    if timings is not None:
+        policy = timings["chosen"]["policy"]
+        quant = int(timings["chosen"]["quant"])
+        block_costs = timings.get("block_costs")
+
     devices = jax.devices()
     mesh = None
     if len(devices) > 1:
         from ..parallel.mesh import make_mesh, shard_sdp
 
         mesh = make_mesh(devices)
-        sdp = build_device_sdp(host, pad_to=mesh.size)
+        sdp = build_device_sdp(host, pad_to=mesh.size, shape_policy=policy,
+                               quant=quant, block_costs=block_costs)
         sdp = shard_sdp(sdp, mesh)
         if verbosity >= 1:
             print(f"devices         : {len(devices)} ({devices[0].platform}), "
                   f"blocks mesh of size {mesh.size}")
     else:
-        sdp = build_device_sdp(host)
+        sdp = build_device_sdp(host, shape_policy=policy, quant=quant)
         if verbosity >= 1:
             print(f"devices         : 1 ({devices[0].platform})")
 
     initial = load_checkpoint(initial_ck, sdp, verbosity) if initial_ck.exists() else None
 
+    multihost = jax.process_count() > 1
+    i_write = jax.process_index() == 0
+
+    def _gathered(state):
+        if multihost:
+            from ..parallel.mesh import replicate_tree
+
+            state = replicate_tree(state, mesh)
+        return state
+
     def checkpoint_fn(state, it):
-        save_checkpoint(ck_dir, sdp, state, options=params.to_dict(),
-                        verbosity=verbosity)
+        state = _gathered(state)
+        if i_write:
+            save_checkpoint(ck_dir, sdp, state, options=params.to_dict(),
+                            verbosity=verbosity)
 
     result = run_solver(
         sdp, params, verbosity=verbosity, mesh=mesh, initial=initial,
@@ -129,12 +187,19 @@ def main(argv=None) -> int:
         print(f"primalError     = {mp_str(result.primal_error, nd)}")
         print(f"dualError       = {mp_str(result.dual_error, nd)}")
 
-    if not args.noFinalCheckpoint:
+    result.state = _gathered(result.state)
+    if not args.noFinalCheckpoint and i_write:
         save_checkpoint(ck_dir, sdp, result.state, options=params.to_dict(),
                         verbosity=verbosity)
-    save_solution(out_dir, result, sdp, write_solution, verbosity=verbosity)
+    if i_write:
+        save_solution(out_dir, result, sdp, write_solution, verbosity=verbosity)
     if verbosity >= 2:
         print(timers.to_json())
+        # profiling file parity: the reference writes per-rank profiles into
+        # ck.profiling/ at -v2 (write_timing.cxx:10-14, Timers.hxx:34-57)
+        prof_dir = Path(str(ck_dir) + ".profiling")
+        prof_dir.mkdir(parents=True, exist_ok=True)
+        timers.write_profile(prof_dir / f"profiling.{jax.process_index()}")
     return 0
 
 

@@ -90,11 +90,30 @@ def dual_constraint_group(block_index: int, m: PolynomialVectorMatrix,
     )
 
 
+def _dcg_worker(args):
+    i, m, K, np_dtype_name, prec = args
+    with mpmath.workprec(prec):
+        return dual_constraint_group(i, m, K, np.dtype(np_dtype_name).type)
+
+
 def assemble_sdp(objective_const, dual_objective_b, pvms: List[PolynomialVectorMatrix],
-                 K: int, np_dtype=np.float64) -> SDPData:
-    """Build a full SDPData from per-block PVMs + objective data (mpmath)."""
-    blocks = [dual_constraint_group(i, m, K, np_dtype)
-              for i, m in enumerate(pvms)]
+                 K: int, np_dtype=np.float64, procs: int = 1) -> SDPData:
+    """Build a full SDPData from per-block PVMs + objective data (mpmath).
+
+    procs > 1 samples blocks in a process pool — the analog of the
+    reference's round-robin block distribution over MPI ranks
+    (sdp2input write_output.cxx:44-45)."""
+    if procs > 1 and len(pvms) > 1:
+        import multiprocessing as mp_
+
+        prec = mpmath.mp.prec
+        jobs = [(i, m, K, np.dtype(np_dtype).name, prec)
+                for i, m in enumerate(pvms)]
+        with mp_.Pool(min(procs, len(pvms))) as pool:
+            blocks = pool.map(_dcg_worker, jobs)
+    else:
+        blocks = [dual_constraint_group(i, m, K, np_dtype)
+                  for i, m in enumerate(pvms)]
     return SDPData(
         objective_const=_to_limbs([objective_const], K, np_dtype, (1,))[:, 0],
         b=_to_limbs(list(dual_objective_b), K, np_dtype, (len(dual_objective_b),)),

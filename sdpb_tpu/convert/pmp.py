@@ -154,6 +154,69 @@ def _moment(damped: DampedRational, m: int) -> mpmath.mpf:
     return damped.constant * val
 
 
+def _moments_batch(damped: DampedRational, max_m: int) -> List[mpmath.mpf]:
+    """All moments 0..max_m from ONE shared quadrature-node sweep.
+
+    The reference computes these via exponential-integral recursions
+    (sdp2input/.../precompute.cxx:18-62); round 1 used one adaptive quad
+    PER moment — the dominant sdp2input cost (~30 adaptive integrations per
+    block).  Here the weight w(x) = constant * base^x / prod(x - p_i) is
+    evaluated once on tanh-sinh nodes over exp-scaled segments and every
+    moment is a weighted power sum over the same nodes; a degree-refinement
+    check guards accuracy, falling back to per-moment adaptive quads on
+    mismatch."""
+    logb = mpmath.log(damped.base)
+    if logb >= 0:
+        raise ValueError("DampedRational base must be < 1 for convergence")
+    from mpmath.calculus.quadrature import TanhSinh
+
+    scale = 1 / (-logb)
+    # segments resolving both the x~0 region and the exponential tail of
+    # the highest moment (peak at m*scale)
+    edges = [mpmath.mpf(0)]
+    top = (max_m + 1) * scale * 8
+    seg = scale / 4
+    while edges[-1] < top:
+        edges.append(min(edges[-1] + seg, top))
+        seg *= 2
+
+    def weight(x):
+        den = mpmath.mpf(1)
+        for p in damped.poles:
+            den *= (x - p)
+        return mpmath.exp(x * logb) / den
+
+    prec = mpmath.mp.prec
+
+    def sweep(degree):
+        ts = TanhSinh(mpmath.mp)
+        nodes = ts.calc_nodes(degree, prec + 20)
+        moments = [mpmath.mpf(0)] * (max_m + 1)
+        for a, b in zip(edges[:-1], edges[1:]):
+            half = (b - a) / 2
+            mid = (b + a) / 2
+            for t, w in nodes:
+                x = mid + half * t
+                ww = w * half * weight(x)
+                pw = ww
+                moments[0] += pw
+                for m in range(1, max_m + 1):
+                    pw *= x
+                    moments[m] += pw
+        return moments
+
+    with mpmath.workprec(prec + 20):
+        lo = sweep(5)
+        hi = sweep(6)
+        ok = all(
+            abs(a - b) <= mpmath.mpf(2) ** (-prec) * (abs(b) + mpmath.mpf(2) ** -prec)
+            for a, b in zip(lo, hi))
+        if ok:
+            return [damped.constant * v for v in hi]
+    # disagreement: the integrand defeated the fixed grid — adaptive rescue
+    return [_moment(damped, m) for m in range(max_m + 1)]
+
+
 def bilinear_basis(damped: DampedRational, half_max_degree: int) -> List[Polynomial]:
     """ON polynomials q_0..q_{half_max_degree} wrt the measure: Gram-Hankel
     H[r][c] = moment(r+c), H = R^T R, q_m coefficients = column m of R^{-1}
@@ -167,7 +230,7 @@ def bilinear_basis(damped: DampedRational, half_max_degree: int) -> List[Polynom
         return [Polynomial([1 / mpmath.sqrt(measure.constant)])]
 
     n = half_max_degree + 1
-    table = [_moment(measure, m) for m in range(2 * half_max_degree + 1)]
+    table = _moments_batch(measure, 2 * half_max_degree)
     H = mpmath.matrix(n, n)
     for r in range(n):
         for c in range(n):

@@ -30,7 +30,7 @@ with points padded to the bucket's num_points.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +158,8 @@ def bucket_key(dim: int, num_points: int, policy: str, quant: int) -> tuple:
 
 
 def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantized",
-                     quant: int = 8, scaled_limbs: int = 0) -> DeviceSDP:
+                     quant: int = 8, scaled_limbs: int = 0,
+                     block_costs: Optional[dict] = None) -> DeviceSDP:
     """Bucket host blocks by (quantized) shape, zero-pad each block to the
     bucket shape, pad batches to a multiple of `pad_to` (the mesh size), and
     stage everything to device MP arrays.
@@ -182,10 +183,15 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
     analog; parallel/planner.py).
     """
     K = sdp.b.shape[0]
-    dtype = jnp.asarray(sdp.b).dtype
-    npdt = np.float32 if dtype == jnp.float32 else np.float64
     if scaled_limbs:
+        # host limbs stay numpy float64; the device arrays become f32+exp
+        # (do NOT touch jnp here: without x64 it would silently downcast)
+        npdt = np.dtype(np.asarray(sdp.b).dtype)
+        dtype = jnp.float32
         assert npdt == np.float64, "scaled staging requires float64 host limbs"
+    else:
+        dtype = jnp.asarray(sdp.b).dtype
+        npdt = np.float32 if dtype == jnp.float32 else np.float64
         need = -(-(24 * scaled_limbs) // 53) + 1
         assert K >= need, (f"host K={K} f64 limbs carry {53*K} bits < "
                            f"{24*scaled_limbs}+ needed for scaled K={scaled_limbs}")
@@ -215,13 +221,21 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
         if pad_to > 1:
             # LPT slot placement: device d owns slots [d*cap, (d+1)*cap) with
             # its padding inside its own range, so the contiguous shard_map
-            # split sees the planned per-device chunks
+            # split sees the planned per-device chunks.  Costs come from the
+            # timing run's block_timings when available (parallel.timing,
+            # the measured block_timings analog of read_block_costs.cxx:15-28),
+            # else the reference's RAM heuristic.
             from ..parallel.planner import (block_cost_heuristic,
                                             plan_block_slots)
 
-            costs = [block_cost_heuristic(
-                b.dim, b.num_points, b.bases_even.shape[1],
-                b.bases_odd.shape[1], sdp.dual_dim) for b in blks]
+            if block_costs:
+                costs = [float(block_costs.get(str(b.index), 0.0)) for b in blks]
+                if not any(costs):
+                    block_costs = None
+            if not block_costs:
+                costs = [block_cost_heuristic(
+                    b.dim, b.num_points, b.bases_even.shape[1],
+                    b.bases_odd.shape[1], sdp.dual_dim) for b in blks]
             slots = plan_block_slots(costs, pad_to)
         else:
             slots = list(range(B)) + [None] * (Bpad - B)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -92,15 +93,166 @@ def shard_state(state: SolverState, mesh: Mesh, axis: str = BLOCK_AXIS) -> Solve
 
 
 def _device_put_tree(tree, spec_tree, mesh):
-    """device_put with a PartitionSpec tree-prefix (each P covers the MP
-    subtree beneath it)."""
+    """Stage a host tree onto the mesh per a PartitionSpec tree (each leaf
+    spec covers the matching array leaf).
+
+    Multi-host capable: with a mesh spanning processes, every process holds
+    the SAME full host arrays (problem data is read everywhere, like the
+    reference where every rank reads the sdp.zip — SDP.cxx:16) and
+    make_array_from_callback materializes only the addressable shards."""
     specs, treedef = jax.tree.flatten(spec_tree, is_leaf=lambda x: isinstance(x, P))
     subtrees = treedef.flatten_up_to(tree)
+    multihost = jax.process_count() > 1
     out = []
     for sub, s in zip(subtrees, specs):
         sharding = NamedSharding(mesh, s)
-        out.append(jax.tree.map(lambda x: jax.device_put(x, sharding), sub))
+
+        def put(x, sharding=sharding):
+            if not multihost:
+                return jax.device_put(x, sharding)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                # already a global array (e.g. eager ops on sharded inputs):
+                # reshard with a jitted identity
+                return jax.jit(lambda a: a, out_shardings=sharding)(x)
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+
+        out.append(jax.tree.map(put, sub))
     return jax.tree.unflatten(treedef, out)
+
+
+def _mp_row_spec(like: MP, axis: str, row_axis: int, mesh_size: int):
+    """Shard a value axis (row_axis, counted over VALUE dims) instead of the
+    batch: intra-block model parallelism for blocks too big for one chip
+    (the El::DistMatrix 2-D-cyclic analog, initialize_Q_group.cxx:39-66 —
+    here 1-D row sharding; XLA's SPMD partitioner inserts the collectives).
+    Falls back to replication when the axis doesn't divide the mesh."""
+    nd = like.ndim
+    if like.shape[row_axis] % mesh_size != 0:
+        return MP(P(), P() if like.scaled else None)
+    lspec = [None] * (nd + 1)
+    lspec[row_axis + 1] = axis
+    espec = None
+    if like.scaled:
+        e = [None] * nd
+        e[row_axis] = axis
+        espec = P(*e)
+    return MP(P(*lspec), espec)
+
+
+def _bucket_bytes(bk: Bucket) -> int:
+    """Approximate per-block device footprint (limbs of the four PSD
+    matrices + S + B band; the RAM model of read_block_costs.cxx:69-87)."""
+    K = bk.Bmat.K
+    itemsize = 4 if bk.Bmat.dtype == jnp.float32 else 8
+    sh = bk.shape
+    psd = sh.dim * sh.h_even
+    psd_o = sh.dim * sh.h_odd
+    P_ = sh.schur_size
+    words = 5 * (psd * psd + psd_o * psd_o) + 3 * P_ * P_ + 2 * P_ * bk.Bmat.shape[-1]
+    return K * words * itemsize
+
+
+def gspmd_pspecs(sdp: DeviceSDP, axis: str, big_bytes: int, mesh_size: int):
+    """Per-bucket shardings for the GSPMD (plain-jit) execution path:
+    buckets whose per-block footprint exceeds `big_bytes` shard their PSD
+    rows / constraint rows over the mesh axis; everything else shards the
+    batch (or replicates when the batch is too small to split)."""
+    sdp_specs, state_specs = [], []
+    for bk in sdp.buckets:
+        big = _bucket_bytes(bk) > big_bytes
+
+        def vec(n):
+            return P(None, axis) if n % mesh_size == 0 else P()
+
+        if big:
+            # rows of every per-block matrix: bases/emb rows, B/c/x
+            # constraint rows, X/Y/S PSD rows
+            ms = mesh_size
+            b = Bucket(
+                bases_even=_mp_row_spec(bk.bases_even, axis, 1, ms),
+                bases_odd=_mp_row_spec(bk.bases_odd, axis, 1, ms),
+                emb_even=_mp_row_spec(bk.emb_even, axis, 1, ms),
+                emb_odd=_mp_row_spec(bk.emb_odd, axis, 1, ms),
+                Bmat=_mp_row_spec(bk.Bmat, axis, 1, ms),
+                c=_mp_row_spec(bk.c, axis, 1, ms),
+                mask=P(), row_mask=vec(bk.row_mask.shape[1]),
+                psd_mask_even=vec(bk.psd_mask_even.shape[1]),
+                psd_mask_odd=vec(max(bk.psd_mask_odd.shape[1], 1)),
+                real_sizes=bk.real_sizes, shape=bk.shape)
+            s = BucketState(
+                x=_mp_row_spec(bk.c, axis, 1, ms),
+                X_even=_mp_row_spec(bk.emb_even, axis, 1, ms),
+                X_odd=_mp_row_spec(bk.emb_odd, axis, 1, ms),
+                Y_even=_mp_row_spec(bk.emb_even, axis, 1, ms),
+                Y_odd=_mp_row_spec(bk.emb_odd, axis, 1, ms))
+        else:
+            batched = bk.batch > 1
+            b = Bucket(
+                bases_even=_mp_spec(bk.bases_even, batched, axis),
+                bases_odd=_mp_spec(bk.bases_odd, batched, axis),
+                emb_even=_mp_spec(bk.emb_even, batched, axis),
+                emb_odd=_mp_spec(bk.emb_odd, batched, axis),
+                Bmat=_mp_spec(bk.Bmat, batched, axis),
+                c=_mp_spec(bk.c, batched, axis),
+                mask=P(axis) if batched else P(),
+                row_mask=P(axis) if batched else P(),
+                psd_mask_even=P(axis) if batched else P(),
+                psd_mask_odd=P(axis) if batched else P(),
+                real_sizes=bk.real_sizes, shape=bk.shape)
+            s = BucketState(
+                x=_mp_spec(bk.c, batched, axis),
+                X_even=_mp_spec(bk.emb_even, batched, axis),
+                X_odd=_mp_spec(bk.emb_odd, batched, axis),
+                Y_even=_mp_spec(bk.emb_even, batched, axis),
+                Y_odd=_mp_spec(bk.emb_odd, batched, axis))
+        sdp_specs.append(b)
+        state_specs.append(s)
+    rep = lambda like: _mp_spec(like, False, axis)  # noqa: E731
+    return (DeviceSDP(objective_const=rep(sdp.objective_const),
+                      b=rep(sdp.b), buckets=sdp_specs),
+            SolverState(y=rep(sdp.b), buckets=state_specs))
+
+
+def make_gspmd_iteration(sdp: DeviceSDP, cfg: StepConfig, mesh: Mesh,
+                         axis: Optional[str] = None,
+                         big_bytes: int = 1 << 30):
+    """Plain-jit execution with sharding constraints instead of shard_map:
+    XLA's SPMD partitioner distributes every op — including the
+    factorization fori_loops of row-sharded giant blocks — and inserts the
+    collectives itself (no psum plumbing: cfg.axis must be None).
+
+    This is the fallback for blocks whose footprint exceeds one device
+    (big_bytes); batched buckets still shard their batch axis, so both
+    parallelism styles coexist in one program."""
+    axis = axis or mesh.axis_names[0]
+    assert cfg.axis is None, "GSPMD path sums globally; no collective axis"
+    sdp_specs, state_specs = gspmd_pspecs(sdp, axis, big_bytes, mesh.size)
+
+    def shardings(spec_tree):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    fn = jax.jit(make_iteration(cfg),
+                 in_shardings=(shardings(sdp_specs), shardings(state_specs)),
+                 out_shardings=None)
+    return fn, (sdp_specs, state_specs)
+
+
+def shard_sdp_gspmd(sdp: DeviceSDP, mesh: Mesh, axis: str = BLOCK_AXIS,
+                    big_bytes: int = 1 << 30) -> DeviceSDP:
+    specs, _ = gspmd_pspecs(sdp, axis, big_bytes, mesh.size)
+    return _device_put_tree(sdp, specs, mesh)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """All-gather a sharded tree to full replication (a jitted identity with
+    replicated out_shardings — XLA emits the gather over ICI/DCN).  Used
+    before host-side serialization (checkpoints, solutions) so the
+    coordinator process can materialize every shard."""
+    sharding = NamedSharding(mesh, P())
+    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
 
 
 def make_sharded_iteration(sdp: DeviceSDP, state: SolverState, cfg: StepConfig,

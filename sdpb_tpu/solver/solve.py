@@ -92,13 +92,28 @@ def run_solver(
 
     if mesh is not None and axis is None:
         axis = mesh.axis_names[0]
-    # mixed-precision scheme: factor at ~half the target limbs (refinement
-    # passes recover the full K limbs).  The factor must out-range the
-    # IPM's worst conditioning — roughly max(Omega^2, 1/gap^2) along the
-    # trajectory — which is problem-dependent, so the run loop SELF-HEALS:
-    # any NaN in the per-iteration stats bumps factor_limbs by one (up to
-    # K), recompiles, and retries from the last good state.
-    factor_limbs = max(2, (K + 2) // 2)
+    if mesh is not None:
+        # explicit placement: required for multi-process meshes (host-local
+        # arrays cannot enter a globally-sharded jit), free otherwise
+        from ..parallel.mesh import shard_state
+
+        state = shard_state(state, mesh)
+    # mixed-precision scheme: factor at reduced limbs (refinement passes
+    # recover the full K).  The factor must out-range the IPM's worst
+    # conditioning — roughly max(Omega^2, 1/gap^2) along the trajectory —
+    # so the initial choice covers the KNOWN part (Omega^2, with margin)
+    # and the run loop SELF-HEALS the trajectory-dependent part: a
+    # non-finite stat or an exploding corrector beta bumps factor_limbs by
+    # one (up to K), recompiles, and retries from the last good state.
+    # (Scaled f32 arithmetic saturates instead of producing NaN, so the
+    # beta trigger is load-bearing there.)
+    p_bits = 24 if npdt == np.float32 else 53
+    with mpmath.workprec(64):
+        log2_omega = float(mpmath.log(max(
+            abs(mpmath.mpf(params.initial_matrix_scale_primal)),
+            abs(mpmath.mpf(params.initial_matrix_scale_dual)), 2), 2))
+    cond_limbs = -(-int(2 * log2_omega + 30) // p_bits)
+    factor_limbs = min(K, max(2, (K + 2) // 2, cond_limbs))
 
     def make_cfg(kf: int) -> StepConfig:
         return StepConfig(
@@ -148,8 +163,21 @@ def run_solver(
             last_checkpoint = time.time()
 
         with timers.scope("run.iteration"):
+            t_it = time.time()
             stats, new_state = iteration(sdp, state)
             stats_host = jax.tree.map(np.asarray, stats)
+            t_it = time.time() - t_it
+        if verbosity >= 2:
+            # debug observability (the reference's -v2 timer tree +
+            # /proc/self/statm dumps, src/Timers.hxx:73-172)
+            rss_mb = 0.0
+            try:
+                with open("/proc/self/statm") as f:
+                    rss_mb = int(f.read().split()[1]) * 4096 / 1e6
+            except OSError:
+                pass
+            print_fn(f"  -- iteration {it}: {t_it:.3f} s device+sync; "
+                     f"host RSS {rss_mb:.0f} MB")
 
         # self-healing: NaN anywhere in the stats means the low-precision
         # factors ran out of range for the current conditioning.  The input
@@ -164,6 +192,11 @@ def run_solver(
             for name in ("primal_objective", "dual_objective", "duality_gap",
                          "mu", "primal_error_P", "primal_error_p",
                          "dual_error", "primal_step", "dual_step"))
+        # corrector beta ~ Tr((X+dX)(Y+dY))/(mu K) explodes when the factors
+        # are out of range but the arithmetic saturates instead of NaN-ing
+        # (scaled f32): treat it as the same conditioning failure
+        if finite and float(stats_host.beta_corrector) > 1e4:
+            finite = False
         if not finite:
             if factor_limbs >= K:
                 reason = TerminateReason.MaxComplementarityExceeded

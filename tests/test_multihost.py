@@ -1,0 +1,99 @@
+"""Multi-host plane: two jax.distributed processes (4 virtual CPU devices
+each) solve the toy SDP over one 8-device global mesh and must reproduce
+the single-process result.
+
+This is the TPU-native analog of the reference's MPI cluster execution
+(allocate_blocks.cxx:37-117 distributes blocks over nodes;
+synchronize_Q.cxx:23-186 reduces Q across them): here both processes run
+the identical SPMD iteration and XLA's psum carries Q across the process
+boundary.  The toy has ONE real block, so seven of the eight shards are
+pure padding — the masking machinery is exercised under multi-process
+sharding too.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+ORACLE = "1.84026576313204924668804017173055"
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
+                           "--xla_cpu_use_fusion_emitters=false")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from sdpb_tpu.parallel import distributed
+distributed.initialize(f"127.0.0.1:{port}", 2, pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np, mpmath
+from sdpb_tpu.io.sdp_zip import read_sdp
+from sdpb_tpu.models.sdp import build_device_sdp
+from sdpb_tpu.parallel.mesh import make_mesh, replicate_tree, shard_sdp
+from sdpb_tpu.solver.params import SolverParameters
+from sdpb_tpu.solver.solve import TerminateReason, run_solver
+
+K = 2
+host = read_sdp("/root/reference/test/data/sdp.zip", K, np.float64)
+mesh = make_mesh()
+sdp = build_device_sdp(host, pad_to=mesh.size)
+sdp = shard_sdp(sdp, mesh)
+params = SolverParameters(
+    precision=106, duality_gap_threshold="1e-10",
+    primal_error_threshold="1e-10", dual_error_threshold="1e-10",
+    initial_matrix_scale_primal="1e2", initial_matrix_scale_dual="1e2",
+    max_iterations=100)
+res = run_solver(sdp, params, verbosity=0, mesh=mesh)
+assert res.terminate_reason == TerminateReason.PrimalDualOptimal, (
+    str(res.terminate_reason), res.iterations)
+# exercise the cross-process state gather (checkpoint/solution path)
+rep = replicate_tree(res.state, mesh)
+y0 = np.asarray(rep.y.limbs)
+assert np.all(np.isfinite(y0))
+if pid == 0:
+    with mpmath.workprec(200):
+        print("OBJ", mpmath.nstr(res.primal_objective, 20), flush=True)
+"""
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/test/data/sdp.zip"),
+                    reason="no reference data")
+def test_two_process_solve_matches_oracle(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", WORKER, str(i), str(port)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True,
+                         cwd="/root/repo")
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, (out[-2000:], err[-2000:])
+    obj_line = [l for l in outs[0][1].splitlines() if l.startswith("OBJ")]
+    assert obj_line, outs[0][1]
+    got = obj_line[0].split(None, 1)[1]
+    import mpmath
+
+    with mpmath.workprec(200):
+        assert abs(mpmath.mpf(got) - mpmath.mpf(ORACLE)) < mpmath.mpf("1e-9"), got
