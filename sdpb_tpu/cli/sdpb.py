@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JAX platform: 'cpu' forces host execution (float64 "
                         "limbs); 'auto' uses the default backend (TPU when "
                         "available, float32 limbs).")
+    p.add_argument("--maxBlockMemory", type=int, default=1 << 30,
+                   help="Per-block device-memory budget in bytes (the "
+                        "--maxSharedMemory analog): blocks above it switch "
+                        "to intra-block row sharding over the mesh "
+                        "(GSPMD path) instead of batch sharding.")
     p.add_argument("--timingRun", choices=["auto", "never"], default="auto",
                    help="'auto' (default): when checkpointDir has no "
                         "block_timings.json, measure candidate bucketing "
@@ -139,16 +144,26 @@ def main(argv=None) -> int:
 
     devices = jax.devices()
     mesh = None
+    mesh_mode = "shard_map"
     if len(devices) > 1:
-        from ..parallel.mesh import make_mesh, shard_sdp
+        from ..parallel.mesh import (_bucket_bytes, make_mesh, shard_sdp,
+                                     shard_sdp_gspmd)
 
         mesh = make_mesh(devices)
         sdp = build_device_sdp(host, pad_to=mesh.size, shape_policy=policy,
                                quant=quant, block_costs=block_costs)
-        sdp = shard_sdp(sdp, mesh)
+        if any(_bucket_bytes(bk) > args.maxBlockMemory for bk in sdp.buckets):
+            # oversized block(s): intra-block row sharding via the GSPMD
+            # path (no batch padding needed there)
+            mesh_mode = "gspmd"
+            sdp = build_device_sdp(host, shape_policy=policy, quant=quant,
+                                   block_costs=block_costs)
+            sdp = shard_sdp_gspmd(sdp, mesh, big_bytes=args.maxBlockMemory)
+        else:
+            sdp = shard_sdp(sdp, mesh)
         if verbosity >= 1:
             print(f"devices         : {len(devices)} ({devices[0].platform}), "
-                  f"blocks mesh of size {mesh.size}")
+                  f"blocks mesh of size {mesh.size}, mode {mesh_mode}")
     else:
         sdp = build_device_sdp(host, shape_policy=policy, quant=quant)
         if verbosity >= 1:
@@ -173,7 +188,8 @@ def main(argv=None) -> int:
                             verbosity=verbosity)
 
     result = run_solver(
-        sdp, params, verbosity=verbosity, mesh=mesh, initial=initial,
+        sdp, params, verbosity=verbosity, mesh=mesh, mesh_mode=mesh_mode,
+        big_bytes=args.maxBlockMemory, initial=initial,
         checkpoint_fn=checkpoint_fn, timers=timers)
 
     if verbosity >= 1:

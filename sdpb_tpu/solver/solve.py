@@ -75,6 +75,8 @@ def run_solver(
     timers: Optional[Timers] = None,
     print_fn: Callable = print,
     mesh=None,
+    mesh_mode: str = "shard_map",
+    big_bytes: int = 1 << 30,
 ) -> SolveResult:
     K = sdp.b.K
     dtype = sdp.b.dtype
@@ -92,7 +94,7 @@ def run_solver(
 
     if mesh is not None and axis is None:
         axis = mesh.axis_names[0]
-    if mesh is not None:
+    if mesh is not None and mesh_mode == "shard_map":
         # explicit placement: required for multi-process meshes (host-local
         # arrays cannot enter a globally-sharded jit), free otherwise
         from ..parallel.mesh import shard_state
@@ -118,7 +120,7 @@ def run_solver(
     def make_cfg(kf: int) -> StepConfig:
         return StepConfig(
             total_psd_rows=sdp.total_psd_rows,
-            axis=axis if mesh is not None else None,
+            axis=axis if (mesh is not None and mesh_mode == "shard_map") else None,
             factor_limbs=kf,
             n_refine=0 if K <= kf else -(-K // kf),
             gamma=float(mpmath.mpf(params.step_length_reduction)),
@@ -130,6 +132,12 @@ def run_solver(
         )
 
     def build_iteration(cfg: StepConfig):
+        if mesh is not None and mesh_mode == "gspmd":
+            from ..parallel.mesh import make_gspmd_iteration
+
+            fn, _ = make_gspmd_iteration(sdp, cfg, mesh, axis,
+                                         big_bytes=big_bytes)
+            return fn
         if mesh is not None:
             from ..parallel.mesh import make_sharded_iteration
 
