@@ -158,13 +158,13 @@ def main():
     out = {}
     err = None
     try:
+        out.update(fixture_bench(platform))     # headline first
+    except Exception as e:
+        err = f"fixture: {e!r}"
+    try:
         out.update(synthetic_bench(platform))
     except Exception as e:  # keep the headline even if one half fails
-        err = f"synthetic: {e!r}"
-    try:
-        out.update(fixture_bench(platform))
-    except Exception as e:
-        err = (err + "; " if err else "") + f"fixture: {e!r}"
+        err = (err + "; " if err else "") + f"synthetic: {e!r}"
 
     solve_s = out.get("fixture_solve_s")
     vs = round(BASELINE_S / solve_s, 3) if solve_s else 0.0

@@ -101,20 +101,36 @@ def main(argv=None) -> int:
     from ..utils.timers import Timers
 
     write_solution = WriteSolution.parse(args.writeSolution)
-    K = limbs_for_precision(params.precision, dtype)
     verbosity = args.verbosity
+
+    # TPU: SCALED f32 limbs (per-element exponents; full range, <= 216
+    # bits).  CPU: classic f64 limbs (any precision).
+    scaled_limbs = 0
+    if np_dtype.__name__ == "float32":
+        scaled_limbs = limbs_for_precision(params.precision, dtype)
+        if scaled_limbs > 9:
+            raise SystemExit(
+                f"--precision {params.precision} needs {scaled_limbs} f32 "
+                "limbs; scaled-f32 supports <= 9 (216 bits). Use "
+                "--platform cpu (float64 limbs) for higher precision.")
+        import numpy as np
+
+        K = -(-(24 * scaled_limbs) // 53) + 1   # f64 host limbs
+        np_dtype = np.float64
+    else:
+        K = limbs_for_precision(params.precision, dtype)
 
     if verbosity >= 1:
         print(f"SDPB TPU-native solver")
         print(f"SDP directory   : {sdp_path}")
         print(f"out directory   : {out_dir}")
         print(f"checkpoint dir  : {ck_dir}")
-        print(f"precision       : {params.precision} bits "
-              f"({K} x {np_dtype.__name__} limbs)")
-    if np_dtype.__name__ == "float32" and K > 6 and verbosity >= 1:
-        print(f"WARNING: {K} float32 limbs compile slowly and float32's "
-              f"exponent range caps reachable duality gaps near ~1e-12; "
-              f"for --precision > ~140 prefer --platform cpu (float64 limbs)")
+        if scaled_limbs:
+            print(f"precision       : {params.precision} bits "
+                  f"({scaled_limbs} scaled float32 limbs + exponent)")
+        else:
+            print(f"precision       : {params.precision} bits "
+                  f"({K} x {np_dtype.__name__} limbs)")
 
     timers = Timers()
     with timers.scope("read_sdp"):
@@ -134,7 +150,8 @@ def main(argv=None) -> int:
         if verbosity >= 1:
             print("no block timings found; running 2-iteration timing run "
                   "(persisted to checkpointDir/block_timings.json)")
-        timings = timing_run(host, params, verbosity=verbosity)
+        timings = timing_run(host, params, verbosity=verbosity,
+                             scaled_limbs=scaled_limbs)
         save_timings(ck_dir, timings)
     policy, quant, block_costs = "quantized", 8, None
     if timings is not None:
@@ -151,13 +168,15 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(devices)
         sdp = build_device_sdp(host, pad_to=mesh.size, shape_policy=policy,
-                               quant=quant, block_costs=block_costs)
+                               quant=quant, block_costs=block_costs,
+                               scaled_limbs=scaled_limbs)
         if any(_bucket_bytes(bk) > args.maxBlockMemory for bk in sdp.buckets):
             # oversized block(s): intra-block row sharding via the GSPMD
             # path (no batch padding needed there)
             mesh_mode = "gspmd"
             sdp = build_device_sdp(host, shape_policy=policy, quant=quant,
-                                   block_costs=block_costs)
+                                   block_costs=block_costs,
+                                   scaled_limbs=scaled_limbs)
             sdp = shard_sdp_gspmd(sdp, mesh, big_bytes=args.maxBlockMemory)
         else:
             sdp = shard_sdp(sdp, mesh)
@@ -165,7 +184,8 @@ def main(argv=None) -> int:
             print(f"devices         : {len(devices)} ({devices[0].platform}), "
                   f"blocks mesh of size {mesh.size}, mode {mesh_mode}")
     else:
-        sdp = build_device_sdp(host, shape_policy=policy, quant=quant)
+        sdp = build_device_sdp(host, shape_policy=policy, quant=quant,
+                               scaled_limbs=scaled_limbs)
         if verbosity >= 1:
             print(f"devices         : 1 ({devices[0].platform})")
 
