@@ -47,18 +47,19 @@ def fixture_bench(platform):
         K, bits = 4, 212
         gap, omega = "1e-12", "1e10"
         host = read_sdp(FIXTURE, K, np.float64)
-        sdp = build_device_sdp(host)
+        sdp = build_device_sdp(host, quant=32)
     else:
-        # scaled f32 limbs (exponent-tracked).  Default K=6 (144 bits)
-        # keeps the remote TPU compile ~15 min; SDPB_BENCH_DEEP=1 selects
-        # K=9 (216 bits) and a deeper gap at a much longer first compile.
+        # scaled f32 limbs (exponent-tracked).  K=5 (120 bits) + merged
+        # buckets keep the remote TPU compile manageable (the axon
+        # persistent cache does NOT cover remote compiles, so every bench
+        # run pays it).  SDPB_BENCH_DEEP=1 selects 216-bit deep-gap.
         if os.environ.get("SDPB_BENCH_DEEP"):
             K, bits, gap, omega = 9, 216, "1e-15", "1e10"
         else:
-            K, bits, gap, omega = 6, 144, "1e-10", "1e6"
+            K, bits, gap, omega = 5, 120, "1e-10", "1e6"
         K64 = -(-(24 * K) // 53) + 1
         host = read_sdp(FIXTURE, K64, np.float64)
-        sdp = build_device_sdp(host, scaled_limbs=K)
+        sdp = build_device_sdp(host, quant=32, scaled_limbs=K)
     load_s = time.time() - t0
 
     params = SolverParameters(
@@ -67,6 +68,12 @@ def fixture_bench(platform):
         primal_error_threshold=gap, dual_error_threshold=gap,
         initial_matrix_scale_primal=omega, initial_matrix_scale_dual=omega,
         max_iterations=250)
+    # warm-up run captures the jit compiles (the reference's 39 s anchor
+    # excludes its own compilation too); the timed solve is compile-free
+    warm = SolverParameters(**{**params.to_dict(), "max_iterations": 1})
+    t0 = time.time()
+    run_solver(sdp, warm, verbosity=0)
+    compile_s = time.time() - t0
     t0 = time.time()
     res = run_solver(sdp, params, verbosity=0)
     solve_s = time.time() - t0
@@ -75,6 +82,7 @@ def fixture_bench(platform):
             abs(res.primal_objective - mpmath.mpf(ORACLE)) + mpmath.mpf(10) ** -60))
     return {
         "fixture_solve_s": round(solve_s, 1),
+        "fixture_compile_s": round(compile_s, 1),
         "fixture_load_s": round(load_s, 1),
         "fixture_iterations": res.iterations,
         "fixture_it_per_s": round(res.iterations / solve_s, 3),
@@ -202,18 +210,33 @@ def main():
         out.update(rec)
 
     solve_s = out.get("fixture_solve_s")
-    vs = round(BASELINE_S / solve_s, 3) if solve_s else 0.0
-    rec = {
-        "metric": f"nmax6_time_to_solution[{platform}]",
-        "value": solve_s if solve_s else -1,
-        "unit": "s",
-        "vs_baseline": vs,
-        "caveat": ("reference anchor is 39 s / 6 MPI ranks / 768 bits / "
-                   "gap 9e-31; this run solves the same SDP at "
-                   f"{out.get('fixture_precision_bits', '?')} bits to gap "
-                   f"{out.get('fixture_gap', '?')} (precision contract not "
-                   "matched; deeper gaps need more limbs)"),
-    }
+    if solve_s:
+        rec = {
+            "metric": f"nmax6_time_to_solution[{platform}]",
+            "value": solve_s,
+            "unit": "s",
+            "vs_baseline": round(BASELINE_S / solve_s, 3),
+            "caveat": ("reference anchor is 39 s / 6 MPI ranks / 768 bits / "
+                       "gap 9e-31; this run solves the same SDP at "
+                       f"{out.get('fixture_precision_bits', '?')} bits to gap "
+                       f"{out.get('fixture_gap', '?')} (precision contract "
+                       "not matched; deeper gaps need more limbs)"),
+        }
+    else:
+        # fixture half unavailable (e.g. remote compile exceeded its
+        # budget): fall back to the synthetic steady-state metric, with NO
+        # cross-workload baseline ratio (the synthetic is ~18x the nmax6
+        # fixture; a ratio against the 39 s anchor would be meaningless)
+        rec = {
+            "metric": ("ipm_iterations_per_s[3D-Ising-class synthetic, "
+                       f"{platform}, production mixed-precision config]"),
+            "value": out.get("synthetic_it_per_s", -1),
+            "unit": "iterations/s",
+            "vs_baseline": 0.0,
+            "caveat": ("fixture half unavailable this run (see error); "
+                       "synthetic workload is ~18x the reference's nmax6 "
+                       "fixture so no baseline ratio is reported"),
+        }
     rec.update(out)
     if err:
         rec["error"] = err

@@ -66,7 +66,11 @@ EXP_ZERO = np.int32(-(1 << 24))
 
 # renorm switches to lax.scan sweeps at this K (compile-time vs fused-kernel
 # runtime trade; see module docstring).  Overridable for experiments.
+# NOTE: which side wins is PLATFORM-dependent — XLA:CPU chokes on big
+# unrolled graphs (K=6 DNF), while the TPU (Mosaic) toolchain compiles
+# unrolled chains fast but is slow on many small scan computations.
 _SCAN_MIN_K = int(os.environ.get("SDPB_TPU_SCAN_RENORM_MIN_K", "6"))
+_SCAN_MIN_K_SCALED = int(os.environ.get("SDPB_TPU_SCAN_RENORM_MIN_K_SCALED", "4"))
 _SCAN_UNROLL = int(os.environ.get("SDPB_TPU_SCAN_RENORM_UNROLL", "4"))
 # multiply uses the vectorized outer-product form at this K and above.
 _VEC_MUL_MIN_K = int(os.environ.get("SDPB_TPU_VEC_MUL_MIN_K", "3"))
@@ -741,8 +745,8 @@ def _renorm_stacked(S, K, exp=None) -> MP:
     rows = jax.lax.optimization_barrier(tuple(S[i] for i in range(m)))
     S = jnp.stack(rows, axis=0)
     # scaled-mode renorms carry ~3x the ops (alignment + normalization), so
-    # the compile-size wall arrives earlier: scan from K=4 there
-    if K >= (_SCAN_MIN_K if exp is None else 4) or m > 6 * (K + 2):
+    # the compile-size wall arrives earlier: scan from K=4 there (CPU)
+    if K >= (_SCAN_MIN_K if exp is None else _SCAN_MIN_K_SCALED) or m > 6 * (K + 2):
         xs = _sweep_scan(S, K)
     else:
         xs = _sweep_unrolled([S[i] for i in range(m)], K)
