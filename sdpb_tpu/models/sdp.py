@@ -189,12 +189,12 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
         npdt = np.dtype(np.asarray(sdp.b).dtype)
         dtype = jnp.float32
         assert npdt == np.float64, "scaled staging requires float64 host limbs"
-    else:
-        dtype = jnp.asarray(sdp.b).dtype
-        npdt = np.float32 if dtype == jnp.float32 else np.float64
         need = -(-(24 * scaled_limbs) // 53) + 1
         assert K >= need, (f"host K={K} f64 limbs carry {53*K} bits < "
                            f"{24*scaled_limbs}+ needed for scaled K={scaled_limbs}")
+    else:
+        dtype = jnp.asarray(sdp.b).dtype
+        npdt = np.float32 if dtype == jnp.float32 else np.float64
 
     def _stage(arr: np.ndarray) -> MP:
         """Host [K, *shape] limb array -> device MP (either representation)."""

@@ -429,8 +429,17 @@ def scaled_parts_to_f64_limbs(limbs: np.ndarray, exp: np.ndarray,
     limbs = np.asarray(limbs, dtype=np.float64)
     exp = np.asarray(exp)
     K = limbs.shape[0]
-    e = np.clip(exp, -2000, 2000).astype(np.int32)
-    res = [np.ldexp(limbs[k], e) for k in range(K)]
+    # lower clip only (protects the EXP_ZERO sentinel: 2^-1500 * limb
+    # underflows to exact 0).  The upper side must NOT be clipped — a
+    # magnitude beyond f64's range is unserializable and must fail loudly
+    # below, not silently shrink.
+    e = np.maximum(exp, -1500).astype(np.int64)
+    with np.errstate(over="ignore"):
+        res = [np.ldexp(limbs[k], e) for k in range(K)]
+    if not np.all(np.isfinite(res[0])):
+        raise ValueError(
+            "scaled value exceeds float64 range (|x| > ~1e308); cannot "
+            "serialize to classic f64 limbs")
 
     def _distill(rs):
         for i in range(len(rs) - 2, -1, -1):
@@ -529,7 +538,12 @@ def to_float_array(a: MP):
     m1 = m * np.float32(2.0 ** -min(C, 126))   # ~[1, 2)
     e = a.exp + C
     over = e > 127
-    f = m1 * _pow2f(jnp.clip(e, -126, 127))
+    # two-factor exponent fold so values below 2^-126 underflow gradually
+    # to subnormals/0 instead of flooring at f32's min normal (TPU f32
+    # multiplies keep subnormal results; only adds flush them)
+    e1 = jnp.clip(e, -126, 127)
+    e2 = jnp.clip(e - e1, -126, 0)
+    f = m1 * _pow2f(e1) * _pow2f(e2)
     big = jnp.asarray(np.finfo(np.float32).max, a.dtype)
     return jnp.where(over, jnp.sign(m) * big, f)
 

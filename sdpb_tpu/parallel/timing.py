@@ -17,11 +17,10 @@ cost actually decides in this design:
     reverse.  Which wins is hardware/problem dependent: only a measurement
     can tell.  The timing run times 2 real iterations under each candidate
     and picks the fastest.
-  * the per-block cost table — bucket cost / batch, persisted like
-    `block_timings` and fed to parallel.planner.plan_block_slots (today's
-    uniform-within-bucket costs make the LPT a no-op; it becomes
-    load-bearing once intra-block sharding gives blocks heterogeneous
-    per-device footprints).
+  * the per-block cost table — the measured winner's s/iteration split
+    over blocks proportionally to the RAM-cost heuristic, persisted like
+    `block_timings` and fed to parallel.planner.plan_block_slots so the
+    contiguous shard_map split balances per-device cost.
 
 The result is persisted in the checkpoint directory as
 `block_timings.json`; like the reference, the run happens automatically
@@ -106,40 +105,26 @@ def timing_run(host_sdp, params, pad_to: int = 1, scaled_limbs: int = 0,
                      f"({len(sdp.buckets)} buckets)")
     best = min(measured, key=lambda r: r["s_per_iteration"])
 
-    # per-block costs under the winner: bucket cost / real blocks (blocks in
-    # a bucket share the padded shape, hence the cost)
-    sdp = build_device_sdp(host_sdp, pad_to=pad_to,
-                           shape_policy=best["policy"], quant=best["quant"],
-                           scaled_limbs=scaled_limbs)
-    block_costs: Dict[str, float] = {}
-    if len(sdp.buckets) > 1:
-        for bk in sdp.buckets:
-            real = [rs.block_index for rs in bk.real_sizes if rs.block_index >= 0]
-            sub = type(host_sdp)(
-                objective_const=host_sdp.objective_const, b=host_sdp.b,
-                blocks=[b for b in host_sdp.blocks if b.index in set(real)])
-            secs = _time_iterations(
-                _rebuild(sub, pad_to, best, scaled_limbs), params)
-            for idx in real:
-                block_costs[str(idx)] = secs / max(len(real), 1)
-    else:
-        secs = best["s_per_iteration"]
-        real = [rs.block_index for bk in sdp.buckets
-                for rs in bk.real_sizes if rs.block_index >= 0]
-        for idx in real:
-            block_costs[str(idx)] = secs / max(len(real), 1)
+    # per-block cost table: the measured total s/iteration, split over
+    # blocks proportionally to the reference's RAM-cost heuristic
+    # (read_block_costs.cxx:69-87).  Measuring each bucket separately would
+    # compile one extra XLA program per bucket — minutes each on TPU, often
+    # exceeding the solve itself — and would only recover uniform costs
+    # WITHIN a bucket anyway; the heuristic split is per-block heterogeneous
+    # and costs nothing.
+    from .planner import block_cost_heuristic
+
+    heur = {b.index: block_cost_heuristic(
+        b.dim, b.num_points, b.bases_even.shape[1], b.bases_odd.shape[1],
+        host_sdp.dual_dim) for b in host_sdp.blocks}
+    total_heur = sum(heur.values()) or 1.0
+    scale = best["s_per_iteration"] / total_heur
+    block_costs: Dict[str, float] = {
+        str(idx): h * scale for idx, h in heur.items()}
 
     return {"version": 1, "measured": measured,
             "chosen": {"policy": best["policy"], "quant": best["quant"]},
             "block_costs": block_costs}
-
-
-def _rebuild(sub_host, pad_to, best, scaled_limbs):
-    from ..models.sdp import build_device_sdp
-
-    return build_device_sdp(sub_host, pad_to=pad_to,
-                            shape_policy=best["policy"], quant=best["quant"],
-                            scaled_limbs=scaled_limbs)
 
 
 def load_timings(ck_dir) -> Optional[dict]:

@@ -100,6 +100,15 @@ def run_solver(
         from ..parallel.mesh import shard_state
 
         state = shard_state(state, mesh)
+    elif mesh is not None and mesh_mode == "gspmd":
+        # same requirement for the GSPMD path: host-local state arrays
+        # cannot enter a jit whose in_shardings span a multi-process mesh,
+        # so stage them per the gspmd state specs (single-process too:
+        # avoids a layout transfer on the first call)
+        from ..parallel.mesh import _device_put_tree, gspmd_pspecs
+
+        _, state_specs = gspmd_pspecs(sdp, axis, big_bytes, mesh.size)
+        state = _device_put_tree(state, state_specs, mesh)
     # mixed-precision scheme: factor at reduced limbs (refinement passes
     # recover the full K).  The factor must out-range the IPM's worst
     # conditioning — roughly max(Omega^2, 1/gap^2) along the trajectory —
@@ -159,6 +168,11 @@ def run_solver(
     prev_p_step, prev_d_step = 0.0, 0.0
     reason = TerminateReason.MaxIterationsExceeded
     stats_host = None
+    # defaults so a first-iteration failure (non-finite at full factor
+    # precision) still yields a well-formed SolveResult instead of NameError
+    _nan = mpmath.mpf("nan")
+    p_obj = d_obj = gap = _nan
+    perr_P = perr_p = derr = float("nan")
 
     if verbosity >= 1:
         print_fn("\n          time    mu     P-obj       D-obj      gap     "

@@ -59,6 +59,24 @@ assert np.all(np.isfinite(y0))
 if pid == 0:
     with mpmath.workprec(200):
         print("OBJ", mpmath.nstr(res.primal_objective, 20), flush=True)
+
+# multihost + GSPMD (intra-block row sharding): regression for the staging
+# gap — host-local state must be staged onto the multi-process mesh per the
+# gspmd specs before entering the globally-sharded jit (solve.py), or the
+# first iteration fails on non-addressable inputs.
+from sdpb_tpu.parallel.mesh import shard_sdp_gspmd
+sdp_g = build_device_sdp(host)
+sdp_g = shard_sdp_gspmd(sdp_g, mesh, big_bytes=0)
+params_g = SolverParameters(
+    precision=106, duality_gap_threshold="1e-10",
+    primal_error_threshold="1e-10", dual_error_threshold="1e-10",
+    initial_matrix_scale_primal="1e2", initial_matrix_scale_dual="1e2",
+    max_iterations=3)
+res_g = run_solver(sdp_g, params_g, verbosity=0, mesh=mesh,
+                   mesh_mode="gspmd", big_bytes=0)
+assert np.isfinite(float(res_g.duality_gap)), res_g.duality_gap
+if pid == 0:
+    print("GSPMD_OK", flush=True)
 """
 
 
@@ -92,6 +110,8 @@ def test_two_process_solve_matches_oracle(tmp_path):
         assert rc == 0, (out[-2000:], err[-2000:])
     obj_line = [l for l in outs[0][1].splitlines() if l.startswith("OBJ")]
     assert obj_line, outs[0][1]
+    assert any(l.startswith("GSPMD_OK") for l in outs[0][1].splitlines()), \
+        outs[0][1]
     got = obj_line[0].split(None, 1)[1]
     import mpmath
 

@@ -50,27 +50,51 @@ def test_timing_run_selects_and_persists(tmp_path):
 
 def test_measured_costs_drive_slot_plan():
     """build_device_sdp consumes measured block costs for the LPT slot
-    placement (read_block_costs.cxx analog): a cost table that inverts the
-    RAM heuristic's ranking must produce the corresponding slot order."""
+    placement (read_block_costs.cxx analog): the per-device contiguous
+    chunks must achieve the OPTIMAL makespan on this instance (checked by
+    brute force), not merely place the heavy block somewhere."""
+    from itertools import combinations
+
     from sdpb_tpu.models.sdp import build_device_sdp
     from sdpb_tpu.models.synthetic import random_sdp
 
-    host = random_sdp(num_blocks=4, dim=1, num_points=8, dual_dim=4, K=2,
+    host = random_sdp(num_blocks=6, dim=1, num_points=8, dual_dim=4, K=2,
                       np_dtype=np.float64, seed=2)
-    # same shapes -> heuristic says uniform; measured costs say block 3 is
-    # 100x the rest (e.g. future intra-block sharding), so LPT must isolate
-    # it on its own device chunk
-    costs = {"0": 1.0, "1": 1.0, "2": 1.0, "3": 100.0}
+    # same shapes -> heuristic says uniform; measured costs disagree
+    costs = {"0": 8.0, "1": 7.0, "2": 6.0, "3": 5.0, "4": 4.0, "5": 3.0}
     sdp = build_device_sdp(host, pad_to=2, block_costs=costs)
     (bk,) = sdp.buckets
+    assert bk.batch == 6
     per_device = [
-        [rs.block_index for rs in bk.real_sizes[i * 2:(i + 1) * 2]
+        [rs.block_index for rs in bk.real_sizes[i * 3:(i + 1) * 3]
          if rs.block_index >= 0]
         for i in range(2)
     ]
-    heavy_chunk = [c for c in per_device if 3 in c]
-    assert heavy_chunk, per_device
-    # LPT: the expensive block's chunk carries at most one cheap sibling
-    # less than the other chunk
-    others = [c for c in per_device if 3 not in c][0]
-    assert len(others) >= 2, per_device
+    assert sorted(i for c in per_device for i in c) == list(range(6))
+    loads = [sum(costs[str(i)] for i in chunk) for chunk in per_device]
+    # optimal 3+3 split by brute force
+    total = sum(costs.values())
+    best = min(
+        max(s, total - s)
+        for pick in combinations(range(6), 3)
+        for s in [sum(costs[str(i)] for i in pick)])
+    assert max(loads) == best, (per_device, loads, best)
+
+
+def test_slot_plan_isolates_heavy_block():
+    """A 100x block must NOT share its device chunk beyond the forced
+    capacity: the other device takes all remaining blocks it can hold."""
+    from sdpb_tpu.parallel.planner import plan_block_slots
+
+    slots = plan_block_slots([1.0, 1.0, 1.0, 100.0], 2)
+    cap = 2
+    chunks = [
+        [s for s in slots[d * cap:(d + 1) * cap] if s is not None]
+        for d in range(2)
+    ]
+    heavy = next(c for c in chunks if 3 in c)
+    light = next(c for c in chunks if 3 not in c)
+    # LPT on this instance: heavy chunk = [3] + the one forced leftover,
+    # light chunk filled to capacity first
+    assert len(light) == cap, chunks
+    assert len(heavy) == 2 and 3 in heavy, chunks
