@@ -1,39 +1,81 @@
 #!/usr/bin/env python
-"""Benchmark: real-fixture time-to-solution + synthetic iterations/s.
+"""Benchmark: real-fixture iterations/s and time-to-solution on the chip.
 
-Two measurements, one JSON line:
+DESIGN CONTRACT (hard-learned): the driver runs `python bench.py` under an
+external timeout and parses the LAST complete JSON line it sees.  So this
+script (a) prints a full headline record IMMEDIATELY after every finished
+measurement (flushed) and upgrades it as later parts land, (b) runs the
+cheapest honest measurement first, (c) budgets itself (default 540 s,
+SDPB_BENCH_BUDGET_S to override) and kills its own subprocess workers
+before the external timeout can, and (d) measures the PRODUCTION numerics
+(scaled exponent-tracked f32 limbs on TPU, classic f64 on CPU).
 
-1. HEADLINE — the reference's own CI workload: solve
-   SingletScalar_cT_test_nmax6 (11 blocks, N=20;
-   /root/reference/test/data/end-to-end_tests/.../sdp.orig.zip) end-to-end
-   with run_solver on this machine's device and report wall-clock.
-   vs_baseline = (SDPB CI anchor 39 s on 6 CPU ranks at 768 bits;
-   BASELINE.md) / (our wall-clock).  Precision caveat: the TPU path runs
-   216-bit scaled-f32 arithmetic (exponent-tracked limbs) to gap <= 1e-15,
-   not the reference's 768-bit/1e-30 contract — stated in the "caveat"
-   field so the comparison is honest about what is and isn't matched.
+Workload: the reference's own CI fixture SingletScalar_cT_test_nmax6
+(11 blocks, N=20; anchor: 39 s wall on 6 MPI ranks at 768 bits,
+/root/reference/test/data/end-to-end_tests/.../out/out.txt:1-7 and
+BASELINE.md).  Milestones, each upgrading the headline:
 
-2. SECONDARY — steady-state IPM iterations/s on a 3D-Ising-class synthetic
-   (200 blocks, np=48, N=100) at the PRODUCTION mixed-precision
-   configuration (factor_limbs/n_refine exactly as run_solver derives them,
-   solver/solve.py), timed with per-iteration host materialization of the
-   stats — the same sync pattern as the production loop (round 1 timed
-   async dispatch with a sync primitive that was later questioned;
-   np.asarray materialization is unambiguous).
+  1. it_per_s  — steady-state IPM iterations/s of the jitted production
+     iteration on the fixture (per-iteration host sync, compile excluded
+     like the reference's anchor excludes its C++ build).
+  2. tts       — full solve wall-clock to primal-dual optimality at
+     gap <= 1e-10, vs the 39 s anchor.
+
+Compiles ride the on-disk EXECUTABLE cache (ops/compile_cache): axon
+remote compiles are not covered by the jax persistent cache, so without it
+every bench run would re-pay tens of minutes of server-side compile.  A
+cold cache is survivable: the worker gets the whole remaining budget and
+whatever milestones it reaches are the record.
+
+If the TPU platform is unreachable (the axon tunnel hangs on init some
+days), the probe times out and the bench falls back to a CPU toy-fixture
+solve so the driver always captures a number.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 FIXTURE = ("/root/reference/test/data/end-to-end_tests/"
            "SingletScalar_cT_test_nmax6/primal_dual_optimal/sdp.orig.zip")
-BASELINE_S = 39.0   # SDPB CI: 6 MPI ranks, 768 bits (BASELINE.md)
+TOY = "/root/reference/test/data/sdp.zip"
+BASELINE_S = 39.0       # SDPB CI: 6 MPI ranks, 768 bits (BASELINE.md)
+BASELINE_ITS = 110      # estimated iterations of that run (the reference
+                        # does not publish the count; 110 matches our own
+                        # 212-bit solve of the same SDP at Omega=1e10)
 ORACLE = "-0.283884666328349913107791200043437245362902095745491"
+TOY_ORACLE = "1.84026576313204924668804017173055"
 
 
-def fixture_bench(platform):
+def _setup(platform: str):
+    sys.path.insert(0, REPO)
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_cpu_use_fusion_emitters=false" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_use_fusion_emitters=false").strip()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        jax.config.update("jax_enable_x64", True)
+    cache = os.environ.get("SDPB_TPU_CACHE",
+                           os.path.expanduser("~/.cache/sdpb_tpu/xla"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return jax.devices()[0].platform
+
+
+def _emit(rec):
+    print(json.dumps(rec), flush=True)
+
+
+def part_fixture(platform: str, budget_s: float):
+    """TPU (or CPU-f64) nmax6 fixture: it/s milestone, then full TTS."""
     import mpmath
     import numpy as np
     from sdpb_tpu.io.sdp_zip import read_sdp
@@ -41,206 +83,214 @@ def fixture_bench(platform):
     from sdpb_tpu.solver.params import SolverParameters
     from sdpb_tpu.solver.solve import TerminateReason, run_solver
 
-    t0 = time.time()
+    t_start = time.time()
     if platform == "cpu":
-        # classic f64 limbs: K=4 = 212 bits
-        K, bits = 4, 212
+        K, bits, scaled = 4, 212, 0
         gap, omega = "1e-12", "1e10"
         host = read_sdp(FIXTURE, K, np.float64)
         sdp = build_device_sdp(host, quant=32)
     else:
-        # scaled f32 limbs (exponent-tracked).  K=5 (120 bits) + merged
-        # buckets keep the remote TPU compile manageable (the axon
-        # persistent cache does NOT cover remote compiles, so every bench
-        # run pays it).  SDPB_BENCH_DEEP=1 selects 216-bit deep-gap.
-        if os.environ.get("SDPB_BENCH_DEEP"):
-            K, bits, gap, omega = 9, 216, "1e-15", "1e10"
-        else:
-            K, bits, gap, omega = 5, 120, "1e-10", "1e6"
-        K64 = -(-(24 * K) // 53) + 1
+        scaled, bits = 5, 120
+        gap, omega = "1e-10", "1e6"
+        K64 = -(-(24 * scaled) // 53) + 1
         host = read_sdp(FIXTURE, K64, np.float64)
-        sdp = build_device_sdp(host, quant=32, scaled_limbs=K)
-    load_s = time.time() - t0
+        sdp = build_device_sdp(host, quant=32, scaled_limbs=scaled)
 
-    params = SolverParameters(
-        precision=bits,
-        duality_gap_threshold=gap,
+    base = dict(
+        precision=bits, duality_gap_threshold=gap,
         primal_error_threshold=gap, dual_error_threshold=gap,
-        initial_matrix_scale_primal=omega, initial_matrix_scale_dual=omega,
-        max_iterations=250)
-    # warm-up run captures the jit compiles (the reference's 39 s anchor
-    # excludes its own compilation too); the timed solve is compile-free
-    warm = SolverParameters(**{**params.to_dict(), "max_iterations": 1})
+        initial_matrix_scale_primal=omega, initial_matrix_scale_dual=omega)
+
+    # milestone 1: compile (disk-cached executable when warm) + 6
+    # iterations, then 6 compile-free iterations for the steady-state rate
+    p6 = SolverParameters(**base, max_iterations=6)
     t0 = time.time()
-    run_solver(sdp, warm, verbosity=0)
-    compile_s = time.time() - t0
+    run_solver(sdp, p6, verbosity=0, use_compile_cache=True)
+    compile_and_6 = time.time() - t0
     t0 = time.time()
-    res = run_solver(sdp, params, verbosity=0)
-    solve_s = time.time() - t0
+    r_warm = run_solver(sdp, p6, verbosity=0, use_compile_cache=True)
+    warm_6 = time.time() - t0
+    its = max(r_warm.iterations, 1)
+    s_it = warm_6 / its
+    _emit({"milestone": "it_per_s", "it_per_s": round(1.0 / s_it, 3),
+           "compile_s": round(compile_and_6 - warm_6, 1),
+           "precision_bits": bits, "platform": platform})
+
+    # milestone 2: full solve, only if the estimate fits what remains
+    remaining = budget_s - (time.time() - t_start)
+    est = (BASELINE_ITS + 60) * s_it + 10
+    if est > remaining:
+        _emit({"milestone": "skip_tts",
+               "why": f"estimated {est:.0f}s full solve > {remaining:.0f}s "
+                      "remaining budget"})
+        return
+    pf = SolverParameters(**base, max_iterations=300)
+    t0 = time.time()
+    res = run_solver(sdp, pf, verbosity=0, use_compile_cache=True)
+    tts = time.time() - t0
     with mpmath.workprec(300):
         digits = -float(mpmath.log10(
             abs(res.primal_objective - mpmath.mpf(ORACLE)) + mpmath.mpf(10) ** -60))
-    return {
-        "fixture_solve_s": round(solve_s, 1),
-        "fixture_compile_s": round(compile_s, 1),
-        "fixture_load_s": round(load_s, 1),
-        "fixture_iterations": res.iterations,
-        "fixture_it_per_s": round(res.iterations / solve_s, 3),
-        "fixture_terminate": str(res.terminate_reason),
-        "fixture_gap": float(res.duality_gap),
-        "fixture_objective_digits": round(digits, 1),
-        "fixture_precision_bits": bits,
-    }
+    _emit({"milestone": "tts", "tts_s": round(tts, 1),
+           "iterations": res.iterations,
+           "terminate": str(res.terminate_reason),
+           "gap": float(res.duality_gap),
+           "objective_digits": round(digits, 1)})
 
 
-def synthetic_bench(platform):
-    import jax
+def part_toy_cpu(budget_s: float):
+    """CPU fallback: toy SDP end-to-end (the reference's unit-test problem,
+    test/data/sdp.zip) — always lands a number even with the TPU down."""
+    import mpmath
     import numpy as np
-    import jax.numpy as jnp
-    from sdpb_tpu.models.synthetic import random_sdp
-    from sdpb_tpu.solver.state import initial_state
-    from sdpb_tpu.solver.step import StepConfig, make_iteration
-    from sdpb_tpu.utils.strings import str_to_limbs
-    from sdpb_tpu.utils import platform as plat
-
-    dtype = plat.default_base_dtype()
-    np_dtype = np.float32 if dtype == jnp.float32 else np.float64
-    K = 5 if np_dtype == np.float32 else 2
-    host = random_sdp(num_blocks=200, dim=1, num_points=48, dual_dim=100,
-                      K=K, np_dtype=np_dtype)
+    from sdpb_tpu.io.sdp_zip import read_sdp
     from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import run_solver
 
+    K = 3
+    host = read_sdp(TOY, K, np.float64)
     sdp = build_device_sdp(host)
-    omega = str_to_limbs("1e2", K, np_dtype)
-    state = initial_state(sdp, omega, omega)
-    # PRODUCTION mixed-precision scheme (solver/solve.py::make_cfg)
-    factor_limbs = max(2, (K + 2) // 2)
-    n_refine = 0 if K <= factor_limbs else -(-K // factor_limbs)
-    cfg = StepConfig(
-        total_psd_rows=sdp.total_psd_rows, axis=None, gamma=0.7,
-        feasible_beta_limbs=str_to_limbs("0.1", K, np_dtype),
-        infeasible_beta_limbs=str_to_limbs("0.3", K, np_dtype),
-        primal_error_threshold=1e-15, dual_error_threshold=1e-15,
-        max_complementarity=1e30,
-        factor_limbs=factor_limbs, n_refine=n_refine)
-    iteration = jax.jit(make_iteration(cfg))
-
+    params = SolverParameters(
+        precision=159, duality_gap_threshold="1e-15",
+        primal_error_threshold="1e-15", dual_error_threshold="1e-15",
+        initial_matrix_scale_primal="1e2", initial_matrix_scale_dual="1e2",
+        max_iterations=100)
     t0 = time.time()
-    stats, state = iteration(sdp, state)
-    np.asarray(stats.primal_error_P)     # full host materialization
+    run_solver(sdp, SolverParameters(**{**params.to_dict(),
+                                        "max_iterations": 1}),
+               verbosity=0, use_compile_cache=True)
     compile_s = time.time() - t0
-
-    for _ in range(2):
-        stats, state = iteration(sdp, state)
-    np.asarray(stats.primal_error_P)
-    n = 10
     t0 = time.time()
-    for _ in range(n):
-        stats, state = iteration(sdp, state)
-        # per-iteration host sync, as the production loop does
-        np.asarray(stats.primal_error_P)
-    elapsed = time.time() - t0
-    return {
-        "synthetic_it_per_s": round(n / elapsed, 3),
-        "synthetic_compile_s": round(compile_s, 1),
-        "synthetic_config": (f"200 blocks np=48 N=100, K={K} "
-                             f"{np_dtype.__name__}, Kf={factor_limbs}, "
-                             f"refine={n_refine}"),
-    }
+    res = run_solver(sdp, params, verbosity=0, use_compile_cache=True)
+    tts = time.time() - t0
+    with mpmath.workprec(200):
+        digits = -float(mpmath.log10(
+            abs(res.primal_objective - mpmath.mpf(TOY_ORACLE))
+            + mpmath.mpf(10) ** -40))
+    _emit({"milestone": "toy_tts", "toy_tts_s": round(tts, 1),
+           "compile_s": round(compile_s, 1),
+           "iterations": res.iterations,
+           "terminate": str(res.terminate_reason),
+           "objective_digits": round(digits, 1)})
 
 
-def _setup():
-    sys.path.insert(0, REPO)
-    import jax
-
-    cache = os.environ.get("SDPB_TPU_CACHE",
-                           os.path.expanduser("~/.cache/sdpb_tpu/xla"))
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-    platform = jax.devices()[0].platform
-    if platform == "cpu":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "--xla_cpu_use_fusion_emitters=false" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_cpu_use_fusion_emitters=false").strip()
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        jax.config.update("jax_enable_x64", True)
-    return platform
+# ---------------------------------------------------------------------------
+# Orchestrator
 
 
-def _run_part(part: str, timeout_s: int) -> dict:
-    """Each half runs in its own subprocess with a hard timeout: a hung or
-    crashed remote compile must not take the headline down with it."""
-    import subprocess
-
+def _probe() -> str:
+    """Discover the default platform in a subprocess: axon tunnel init can
+    hang for minutes when the TPU is unreachable."""
     try:
         res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--part", part],
-            capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return {"error": f"{part}: timed out after {timeout_s}s"}
-    for line in reversed(res.stdout.strip().splitlines()):
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=75, cwd=REPO)
+        p = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+        return p or "cpu"
+    except (subprocess.TimeoutExpired, OSError):
+        return "cpu"
+
+
+def _headline(state: dict) -> dict:
+    """Best available headline from accumulated milestones."""
+    plat = state.get("platform", "?")
+    bits = state.get("precision_bits", "?")
+    caveat_prec = (
+        f"reference anchor is 39 s / 6 MPI ranks / 768 bits / gap 9e-31; "
+        f"this run solves the same SDP at {bits} bits to gap 1e-10 on one "
+        f"device (precision contract not matched; more limbs available at "
+        f"higher cost)")
+    if "tts_s" in state:
+        rec = {"metric": f"nmax6_time_to_solution[{plat}]",
+               "value": state["tts_s"], "unit": "s",
+               "vs_baseline": round(BASELINE_S / state["tts_s"], 3),
+               "caveat": caveat_prec}
+    elif "it_per_s" in state:
+        anchor = BASELINE_ITS / BASELINE_S  # ~2.9 it/s, 6 ranks, 768 bits
+        rec = {"metric": f"nmax6_ipm_iterations_per_s[{plat}]",
+               "value": state["it_per_s"], "unit": "iterations/s",
+               "vs_baseline": round(state["it_per_s"] / anchor, 3),
+               "caveat": caveat_prec + "; rate metric (full-solve milestone "
+                                       "did not land this run)"}
+    elif "toy_tts_s" in state:
+        rec = {"metric": "toy_time_to_solution[cpu]",
+               "value": state["toy_tts_s"], "unit": "s",
+               "vs_baseline": 0.0,
+               "caveat": "TPU platform unreachable this run; CPU toy solve "
+                         "only (no comparable reference anchor)"}
+    else:
+        rec = {"metric": "bench_failed", "value": -1, "unit": "s",
+               "vs_baseline": 0.0}
+    rec.update({k: v for k, v in state.items()
+                if k not in ("milestone",)})
+    return rec
+
+
+def _run_part(args, budget_s: float, state: dict):
+    """Run a worker subprocess, relaying each milestone into an upgraded
+    headline line the moment it appears."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + args
+        + ["--budget", str(int(budget_s))],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=REPO)
+    deadline = time.time() + budget_s
+    try:
+        while True:
+            if time.time() > deadline:
+                proc.kill()
+                state["error"] = state.get("error", "") + \
+                    f"[{' '.join(args)}] budget exceeded; "
+                break
+            line = proc.stdout.readline()
+            if not line:
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.2)
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            state.update(rec)
+            _emit(_headline(state))
+    finally:
         try:
-            return json.loads(line)
-        except json.JSONDecodeError:
-            continue
-    return {"error": f"{part}: exit {res.returncode}: "
-                     f"{(res.stderr or res.stdout)[-300:]}"}
+            proc.kill()
+        except OSError:
+            pass
 
 
 def main():
     if "--part" in sys.argv:
         part = sys.argv[sys.argv.index("--part") + 1]
-        platform = _setup()
-        fn = fixture_bench if part == "fixture" else synthetic_bench
-        print(json.dumps(fn(platform)))
+        platform = sys.argv[sys.argv.index("--platform") + 1]
+        budget = float(sys.argv[sys.argv.index("--budget") + 1])
+        got = _setup(platform)
+        if part == "fixture":
+            part_fixture(got, budget)
+        else:
+            part_toy_cpu(budget)
         return
 
-    platform = _setup()
-    out = {}
-    err = None
-    for part, budget in (("fixture", 2700), ("synthetic", 2400)):
-        rec = _run_part(part, budget)
-        e = rec.pop("error", None)
-        if e:
-            err = (err + "; " if err else "") + e
-        out.update(rec)
+    budget = float(os.environ.get("SDPB_BENCH_BUDGET_S", "540"))
+    deadline = time.time() + budget
+    state = {}
+    platform = _probe()
+    state["platform"] = platform
 
-    solve_s = out.get("fixture_solve_s")
-    if solve_s:
-        rec = {
-            "metric": f"nmax6_time_to_solution[{platform}]",
-            "value": solve_s,
-            "unit": "s",
-            "vs_baseline": round(BASELINE_S / solve_s, 3),
-            "caveat": ("reference anchor is 39 s / 6 MPI ranks / 768 bits / "
-                       "gap 9e-31; this run solves the same SDP at "
-                       f"{out.get('fixture_precision_bits', '?')} bits to gap "
-                       f"{out.get('fixture_gap', '?')} (precision contract "
-                       "not matched; deeper gaps need more limbs)"),
-        }
-    else:
-        # fixture half unavailable (e.g. remote compile exceeded its
-        # budget): fall back to the synthetic steady-state metric, with NO
-        # cross-workload baseline ratio (the synthetic is ~18x the nmax6
-        # fixture; a ratio against the 39 s anchor would be meaningless)
-        rec = {
-            "metric": ("ipm_iterations_per_s[3D-Ising-class synthetic, "
-                       f"{platform}, production mixed-precision config]"),
-            "value": out.get("synthetic_it_per_s", -1),
-            "unit": "iterations/s",
-            "vs_baseline": 0.0,
-            "caveat": ("fixture half unavailable this run (see error); "
-                       "synthetic workload is ~18x the reference's nmax6 "
-                       "fixture so no baseline ratio is reported"),
-        }
-    rec.update(out)
-    if err:
-        rec["error"] = err
-    print(json.dumps(rec))
+    if platform != "cpu" and os.path.exists(FIXTURE):
+        _run_part(["--part", "fixture", "--platform", platform],
+                  deadline - time.time() - 25, state)
+    if "it_per_s" not in state and "tts_s" not in state:
+        # TPU missing or produced nothing: CPU toy fallback
+        remaining = deadline - time.time() - 10
+        if remaining > 60:
+            _run_part(["--part", "toy", "--platform", "cpu"],
+                      remaining, state)
+    _emit(_headline(state))
 
 
 if __name__ == "__main__":

@@ -210,7 +210,8 @@ def main(argv=None) -> int:
     result = run_solver(
         sdp, params, verbosity=verbosity, mesh=mesh, mesh_mode=mesh_mode,
         big_bytes=args.maxBlockMemory, initial=initial,
-        checkpoint_fn=checkpoint_fn, timers=timers)
+        checkpoint_fn=checkpoint_fn, timers=timers,
+        use_compile_cache=(mesh is None))
 
     if verbosity >= 1:
         print(f"-----{result.terminate_reason}-----")

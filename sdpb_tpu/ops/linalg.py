@@ -130,7 +130,14 @@ def cholesky(A: MP) -> MP:
     One rsqrt Newton chain per column provides both the diagonal sqrt
     (d = d2 * r) and the column scaling (1/d = r), keeping the loop body —
     and hence the XLA graph — half the size of a sqrt + reciprocal pair.
+
+    On TPU, float32 batches that fit VMEM run as a single Pallas kernel
+    (whole factorization on-chip, one custom call; see ops.pallas_kernels).
     """
+    from . import pallas_kernels as pk
+
+    if pk.pallas_cholesky_viable(A):
+        return pk.mp_cholesky(A)
     n = A.shape[-1]
     row_idx = jnp.arange(n)
 
@@ -170,7 +177,13 @@ def solve_lower(L: MP, B: MP, diag_inv: MP = None) -> MP:
     reciprocals are computed once, vectorized over all columns, OUTSIDE the
     fori_loop — removing the Newton iteration from the loop body keeps the
     XLA graph small (compile time) and the VPU work per step low.
+
+    TPU float32 batches go through the Pallas substitution kernel.
     """
+    from . import pallas_kernels as pk
+
+    if pk.pallas_trsm_viable(L, B):
+        return pk.mp_solve_triangular(L, B, lower=True)
     n = L.shape[-1]
     row_idx = jnp.arange(n)
     dinv = mp.reciprocal(_diag_mp(L)) if diag_inv is None else diag_inv  # [..., n]
@@ -192,6 +205,10 @@ def solve_lower(L: MP, B: MP, diag_inv: MP = None) -> MP:
 
 def solve_lower_T(L: MP, B: MP, diag_inv: MP = None) -> MP:
     """X = L^{-T} B by backward substitution (El::Trsm LEFT, LOWER, TRANSPOSE)."""
+    from . import pallas_kernels as pk
+
+    if pk.pallas_trsm_viable(L, B):
+        return pk.mp_solve_triangular(L.mT, B, lower=False)
     n = L.shape[-1]
     row_idx = jnp.arange(n)
     dinv = mp.reciprocal(_diag_mp(L)) if diag_inv is None else diag_inv

@@ -22,70 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .eft import two_sum, quick_two_sum, two_prod_presplit, split
-from .mpfloat import MP
+from . import mplist as ml
+from .mpfloat import EXP_ZERO, MP
 
 
-def _renorm_list(xs, K):
-    """mpfloat.renorm on a plain list of equal-shape arrays (no stacking,
-    usable inside a Pallas kernel).  No optimization_barrier here: Mosaic
-    does not lower it — and does not apply FP contraction (verified by the
-    EFT exactness test), so none is needed."""
-    xs = list(xs)
-    if len(xs) < K + 1:
-        xs = xs + [jnp.zeros_like(xs[0])] * (K + 1 - len(xs))
-    m = len(xs)
-    for k in range(K + 1):
-        if k == m - 1:
-            break
-        if k == K:
-            s = xs[m - 1]
-            for i in range(m - 2, k - 1, -1):
-                s = s + xs[i]
-            xs[k] = s
-            break
-        for i in range(m - 2, k - 1, -1):
-            xs[i], xs[i + 1] = two_sum(xs[i], xs[i + 1])
-    for i in range(K):
-        xs[i], xs[i + 1] = quick_two_sum(xs[i], xs[i + 1])
-    for i in range(K - 1, 0, -1):
-        xs[i - 1], xs[i] = quick_two_sum(xs[i - 1], xs[i])
-    return xs[:K]
-
-
-def _mp_add_lists(a, b, K):
-    xs = []
-    for i in range(K):
-        xs.append(a[i])
-        xs.append(b[i])
-    return _renorm_list(xs, K)
-
-
-def _mp_mul_lists(al, bl, K):
-    """CAMPARY-style truncated product of two limb lists (mpfloat.mul)."""
-    asp = [split(x) for x in al]
-    bsp = [split(x) for x in bl]
-    diag = [[] for _ in range(K + 1)]
-    for n in range(K):
-        for i in range(n + 1):
-            j = n - i
-            p, e = two_prod_presplit(al[i], *asp[i], bl[j], *bsp[j])
-            diag[n].append(p)
-            if n + 1 <= K - 1:
-                diag[n + 1].append(e)
-    tail = None
-    for i in range(1, K):
-        t = al[i] * bl[K - i]
-        tail = t if tail is None else tail + t
-    if tail is not None:
-        diag[K].append(tail)
-    xs = []
-    for n in range(K + 1):
-        xs.extend(diag[n])
-    return _renorm_list(xs, K)
-
-
-def _matmul_kernel(at_ref, b_ref, o_ref, *, K: int, Kd: int, chunk: int):
+def _matmul_kernel(*refs, K: int, Kd: int, chunk: int, scaled: bool,
+                   unroll: bool = False):
     """One batch element: o[K,M,N] = a[K,M,Kd] @ b[K,Kd,N] in MP arithmetic,
     with `a` passed TRANSPOSED as at[K,Kd,M] so the contraction dim is the
     sublane axis (Mosaic allows dynamic sublane slices; dynamic LANE slices
@@ -95,71 +37,114 @@ def _matmul_kernel(at_ref, b_ref, o_ref, *, K: int, Kd: int, chunk: int):
     fori_loop (body compiled once regardless of Kd): the block is loaded
     to registers, rows indexed statically, limb products summed pairwise
     (tree) in MP, and folded into the VMEM accumulator.  The caller pads
-    Kd to a chunk multiple with zeros (exact no-ops in the sum).
-    """
+    Kd to a chunk multiple with MP zeros (exact no-ops in the sum).
+
+    Scaled mode carries the per-element int32 exponent tiles alongside;
+    the accumulator is a full scaled Val and the tree adds perform the
+    exponent alignment (the on-chip analog of step.py's _psum_mp)."""
     import jax.experimental.pallas as pl
 
-    M = at_ref.shape[3]
-    N = b_ref.shape[3]
+    n_in = 2 if scaled else 1
+    at_refs = refs[:n_in]
+    b_refs = refs[n_in:2 * n_in]
+    o_refs = refs[2 * n_in:]
+    M = at_refs[0].shape[3]
+    N = b_refs[0].shape[3]
     assert Kd % chunk == 0, (Kd, chunk)
 
     def body(c, acc):
         start = pl.multiple_of(c * chunk, chunk)
-        A_blk = [at_ref[k, 0, pl.ds(start, chunk), :] for k in range(K)]  # [chunk, M]
-        B_blk = [b_ref[k, 0, pl.ds(start, chunk), :] for k in range(K)]   # [chunk, N]
+        A_blk = [at_refs[0][k, 0, pl.ds(start, chunk), :] for k in range(K)]
+        B_blk = [b_refs[0][k, 0, pl.ds(start, chunk), :] for k in range(K)]
+        Ae = at_refs[1][0, pl.ds(start, chunk), :] if scaled else None
+        Be = b_refs[1][0, pl.ds(start, chunk), :] if scaled else None
 
         def product_at(t):
             al = [jnp.broadcast_to(A_blk[k][t, :].reshape(M, 1), (M, N))
                   for k in range(K)]
             bl = [jnp.broadcast_to(B_blk[k][t, :].reshape(1, N), (M, N))
                   for k in range(K)]
-            return _mp_mul_lists(al, bl, K)
+            ae = (jnp.broadcast_to(Ae[t, :].reshape(M, 1), (M, N))
+                  if scaled else None)
+            be = (jnp.broadcast_to(Be[t, :].reshape(1, N), (M, N))
+                  if scaled else None)
+            return ml.mul((al, ae), (bl, be), K)
 
         terms = [product_at(t) for t in range(chunk)]
         while len(terms) > 1:
             nxt = []
             for i in range(0, len(terms) - 1, 2):
-                nxt.append(_mp_add_lists(terms[i], terms[i + 1], K))
+                nxt.append(ml.add(terms[i], terms[i + 1], K))
             if len(terms) % 2:
                 nxt.append(terms[-1])
             terms = nxt
-        return tuple(_mp_add_lists(list(acc), terms[0], K))
+        return ml.add(acc, terms[0], K)
 
-    acc0 = tuple(jnp.zeros((M, N), at_ref.dtype) for _ in range(K))
-    acc = jax.lax.fori_loop(0, Kd // chunk, body, acc0)
-    for k in range(K):
-        o_ref[k, 0] = acc[k]
+    acc0 = ([jnp.zeros((M, N), at_refs[0].dtype) for _ in range(K)],
+            jnp.full((M, N), EXP_ZERO, jnp.int32) if scaled else None)
+    if unroll:
+        # interpret mode (XLA:CPU): the while-body + dynamic-slice fusion
+        # contracts FP ops straight through optimization_barrier, destroying
+        # the error-free transforms (f32 only; fusion-emitter flag does not
+        # reach while bodies).  A statically unrolled loop compiles exactly;
+        # Mosaic on TPU needs no workaround (no contraction, verified by the
+        # on-chip EFT test in tests/test_pallas_kernels.py).
+        acc = acc0
+        for c in range(Kd // chunk):
+            acc = body(c, acc)
+    else:
+        acc = jax.lax.fori_loop(0, Kd // chunk, body, acc0)
+    _store_val(o_refs, acc, K, scaled)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _mp_matmul_pallas(a_limbs, b_limbs, chunk: int = 8):
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _mp_matmul_pallas(a: MP, b: MP, chunk: int = 8, interpret: bool = False) -> MP:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    a_limbs, b_limbs = a.limbs, b.limbs
+    scaled = a.scaled
     K, B, M, Kd = a_limbs.shape
     N = b_limbs.shape[3]
-    # pad the contraction dim to a chunk multiple (zero products are exact
-    # no-ops in the accumulation)
+    # pad the contraction dim to a chunk multiple (MP zeros are exact
+    # no-ops in the accumulation; scaled zeros need the EXP_ZERO sentinel)
     pad = (-Kd) % chunk
+    a_exp, b_exp = a.exp, b.exp
     if pad:
         a_limbs = jnp.pad(a_limbs, ((0, 0), (0, 0), (0, 0), (0, pad)))
         b_limbs = jnp.pad(b_limbs, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        if scaled:
+            a_exp = jnp.pad(a_exp, ((0, 0), (0, 0), (0, pad)),
+                            constant_values=int(EXP_ZERO))
+            b_exp = jnp.pad(b_exp, ((0, 0), (0, pad), (0, 0)),
+                            constant_values=int(EXP_ZERO))
         Kd += pad
     at_limbs = jnp.swapaxes(a_limbs, 2, 3)   # [K, B, Kd, M]
-    kernel = functools.partial(_matmul_kernel, K=K, Kd=Kd, chunk=chunk)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((K, 1, Kd, M), lambda b: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 1, Kd, N), lambda b: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((K, 1, M, N), lambda b: (0, b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, B, M, N), a_limbs.dtype),
-    )(at_limbs, b_limbs)
+    kernel = functools.partial(_matmul_kernel, K=K, Kd=Kd, chunk=chunk,
+                               scaled=scaled, unroll=interpret)
+    in_specs = [pl.BlockSpec((K, 1, Kd, M), lambda b: (0, b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if scaled:
+        in_specs.append(pl.BlockSpec((1, Kd, M), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((K, 1, Kd, N), lambda b: (0, b, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    if scaled:
+        in_specs.append(pl.BlockSpec((1, Kd, N), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_specs, out_shapes = _val_out(pl, pltpu, K, B, M, N,
+                                     a_limbs.dtype, scaled)
+    args = [at_limbs]
+    if scaled:
+        args.append(jnp.swapaxes(a_exp, 1, 2))
+    args.append(b_limbs)
+    if scaled:
+        args.append(b_exp)
+    res = pl.pallas_call(
+        kernel, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(*args)
+    return MP(res[0], res[1] if scaled else None)
 
 
 # VMEM budget per program (bytes); operands + accumulator + headroom
@@ -168,27 +153,315 @@ _VMEM_LIMIT = 12 * 1024 * 1024
 
 def pallas_matmul_viable(a: MP, b: MP) -> bool:
     """Use the kernel on TPU for 4-D [K,B,M,Kd]x[K,B,Kd,N] float32 operands
-    that fit VMEM and are big enough to amortize the kernel dispatch
-    (measured: ~5x faster at 96^3 x batch 11, but slower than fused XLA on
-    toy-sized blocks)."""
+    (classic or scaled) that fit VMEM and are big enough to amortize the
+    kernel dispatch (measured: ~5x faster at 96^3 x batch 11, but slower
+    than fused XLA on toy-sized blocks)."""
     if jax.default_backend() == "cpu":
-        return False
-    if a.scaled or b.scaled:
-        # per-element exponents need alignment inside the contraction; the
-        # kernel operates on raw f32 ladders only (scaled matmul rides the
-        # XLA fallback in ops.linalg.matmul)
         return False
     if a.dtype != jnp.float32 or a.limbs.ndim != 4 or b.limbs.ndim != 4:
         return False
     K, B, M, Kd = a.limbs.shape
     N = b.shape[-1]
-    words = K * (M * Kd + Kd * N + 3 * M * N)
+    per_exp = 1 if a.scaled else 0
+    words = (K + per_exp) * (M * Kd + Kd * N + 3 * M * N)
     if words * 4 >= _VMEM_LIMIT:
         return False
     return K * K * B * M * Kd * N >= 2_000_000
 
 
-def mp_matmul(a: MP, b: MP) -> MP:
+def mp_matmul(a: MP, b: MP, interpret: bool = False) -> MP:
     """Batched MP matmul via the Pallas kernel (callers guard with
     pallas_matmul_viable)."""
-    return MP(_mp_matmul_pallas(a.limbs, b.limbs))
+    return _mp_matmul_pallas(a, b, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Factorization kernels (Cholesky, triangular solve)
+#
+# The XLA factorizations in ops.linalg are lax.fori_loop programs whose per-
+# column bodies read and write whole [B, n, n] limb arrays in HBM — n kernel
+# launches per factorization and the dominant share of both the iteration
+# runtime and the XLA compile time (each body embeds the full K^2-term MP
+# product graph).  These kernels run the WHOLE factorization on-chip: one
+# Mosaic custom call per bucket, operands loaded to VMEM once, the loop
+# carried in registers/VMEM.  They replace the reference's per-block
+# El::Cholesky/El::Trsm (initialize_Q_group.cxx:31-67).
+#
+# TPU layout facts that shape the implementation:
+#   * dynamic LANE indexing is restricted (128-aligned), dynamic sublane
+#     indexing is fine — so a pivot COLUMN [n, 1] is extracted with an
+#     exact lane-masked sum (exactly one nonzero element per row survives
+#     the mask, so a plain f32 sum is exact), and a pivot ROW [1, n] with
+#     the sublane-masked sum.
+#   * the trailing update needs the pivot both as a column and as a row;
+#     keeping the working matrix SYMMETRIC (the trailing Schur complement
+#     of an SPD matrix is symmetric) provides both without any in-kernel
+#     transpose.
+#   * triangular solves always extract COLUMNS of the triangle (right-
+#     looking substitution); the transpose solve is fed L^T by the caller
+#     (an XLA transpose outside the kernel).
+# All MP arithmetic is ops.mplist — list-form limbs + optional exponent
+# tile, bit-identical to ops.mpfloat (tests/test_mplist.py), so kernel and
+# XLA paths agree limb-for-limb.
+
+
+def _iota2(n, m):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    return sub, lane
+
+
+def _pick_lane(v, j, n):
+    """Column j of Val v ([n, n] tiles) as [n, 1] tiles — exact masked sum."""
+    xs, e = v
+    _, lane = _iota2(n, n)
+    m = lane == j
+    cols = [jnp.sum(jnp.where(m, x, 0), axis=1, keepdims=True) for x in xs]
+    if e is None:
+        return cols, None
+    ec = jnp.sum(jnp.where(m, e, 0), axis=1, keepdims=True).astype(jnp.int32)
+    return cols, ec
+
+
+def _pick_sub(v, i, n):
+    """Row i of Val v ([n, m] tiles) as [1, m] tiles — exact masked sum."""
+    xs, e = v
+    m_ = v[0][0].shape[1]
+    sub, _ = _iota2(n, m_)
+    m = sub == i
+    rows = [jnp.sum(jnp.where(m, x, 0), axis=0, keepdims=True) for x in xs]
+    if e is None:
+        return rows, None
+    er = jnp.sum(jnp.where(m, e, 0), axis=0, keepdims=True).astype(jnp.int32)
+    return rows, er
+
+
+def _transpose_col(v, n):
+    """[n, 1] Val -> [1, n] Val, exactly: broadcast along lanes, keep the
+    diagonal, sum out the sublanes (one nonzero per output element, so the
+    plain sum is exact for limbs and int32 exponents alike).  This is the
+    Mosaic-friendly vector transpose — no relayout op needed."""
+    xs, e = v
+    sub, lane = _iota2(n, n)
+    m = sub == lane
+    xs_t = [jnp.sum(jnp.where(m, jnp.broadcast_to(x, (n, n)), 0),
+                    axis=0, keepdims=True) for x in xs]
+    if e is None:
+        return xs_t, None
+    et = jnp.sum(jnp.where(m, jnp.broadcast_to(e, (n, n)), 0),
+                 axis=0, keepdims=True).astype(jnp.int32)
+    return xs_t, et
+
+
+def _load_val(refs, K, scaled):
+    limbs = [refs[0][k, 0] for k in range(K)]
+    e = refs[1][0] if scaled else None
+    return limbs, e
+
+
+def _store_val(refs, v, K, scaled):
+    xs, e = v
+    for k in range(K):
+        refs[0][k, 0] = xs[k]
+    if scaled:
+        refs[1][0] = e
+
+
+def _cholesky_kernel(*refs, K: int, scaled: bool):
+    """One bucket element: lower Cholesky of SPD A [n, n] (MP limbs).
+
+    Right-looking, reading ONLY the lower triangle (like the XLA path and
+    El::Cholesky(LOWER) — solver matrices are symmetric only to the last
+    ulp, so the upper triangle must not participate): per pivot j the
+    column [n, 1] of M is extracted by an exact masked sum, one rsqrt
+    Newton chain gives both sqrt(d) and 1/sqrt(d), the scaled column is
+    transposed exactly in-kernel, and the rank-1 trailing update is the
+    broadcast product column x row of the SAME values."""
+    n_in = 2 if scaled else 1
+    a_refs, l_refs = refs[:n_in], refs[n_in:]
+    n = a_refs[0].shape[-1]
+    sub, lane = _iota2(n, n)
+
+    M0 = _load_val(a_refs, K, scaled)
+    L0 = ml.zeros_like_val(M0)
+
+    def body(j, carry):
+        M, L = carry
+        colM = _pick_lane(M, j, n)               # [n, 1], rows >= j valid
+        d2 = _pick_sub(colM, j, n)               # [1, 1]
+        r = ml.rsqrt(d2, K)                      # 1/sqrt(d)
+        d = ml.mul(d2, r, K)                     # sqrt(d)
+        colj = ml.mul(colM, r, K)                # column scaled by 1/d
+        below = ml.mask(colj, (sub[:, :1] > j))  # strictly below diag
+        colL = ml.where(sub[:, :1] == j, d, below)
+        L = ml.where(lane == j, colL, L)         # write column j
+        rowv = _transpose_col(below, n)          # [1, n], bitwise same vals
+        upd = ml.mul(below, rowv, K)             # [n, 1] x [1, n]
+        M = ml.sub(M, upd, K)
+        return M, L
+
+    _, L = jax.lax.fori_loop(0, n, body, (M0, L0))
+    _store_val(l_refs, L, K, scaled)
+
+
+def _trsm_kernel(*refs, K: int, scaled: bool, lower: bool):
+    """One bucket element: X = T^{-1} B by substitution, T triangular
+    [n, n], B [n, m].  `lower=True`: T is lower (forward order);
+    `lower=False`: T is UPPER (the caller passes L^T; backward order).
+    Right-looking: each solved row xi is immediately eliminated from the
+    residual via the pivot column of T."""
+    n_in = 2 if scaled else 1
+    t_refs, b_refs, x_refs = refs[:n_in], refs[n_in:2 * n_in], refs[2 * n_in:]
+    n = t_refs[0].shape[-1]
+    m = b_refs[0].shape[-1]
+    sub_nm, _ = _iota2(n, m)
+    sub_n1 = _iota2(n, 1)[0]
+
+    T = _load_val(t_refs, K, scaled)
+    B0 = _load_val(b_refs, K, scaled)
+
+    # diagonal reciprocals, once, vectorized: diag as [n, 1] via the exact
+    # lane-pick of the diagonal element per row
+    dxs = [jnp.sum(jnp.where(_iota2(n, n)[0] == _iota2(n, n)[1], x, 0),
+                   axis=1, keepdims=True) for x in T[0]]
+    de = None
+    if scaled:
+        de = jnp.sum(jnp.where(_iota2(n, n)[0] == _iota2(n, n)[1], T[1], 0),
+                     axis=1, keepdims=True).astype(jnp.int32)
+    dinv = ml.reciprocal((dxs, de), K)           # [n, 1]
+
+    X0 = ml.zeros_like_val(B0, shape=(n, m))
+
+    def body(t, carry):
+        Bres, X = carry
+        i = t if lower else n - 1 - t
+        rowB = _pick_sub(Bres, i, n)             # [1, m]
+        di = _pick_sub(dinv, i, n)               # [1, 1]
+        xi = ml.mul(rowB, di, K)                 # [1, m]
+        X = ml.where(sub_nm == i, xi, X)
+        colT = _pick_lane(T, i, n)               # [n, 1]
+        colT = ml.mask(colT, (sub_n1 > i) if lower else (sub_n1 < i))
+        Bres = ml.sub(Bres, ml.mul(colT, xi, K), K)
+        return Bres, X
+
+    _, X = jax.lax.fori_loop(0, n, body, (B0, X0))
+    _store_val(x_refs, X, K, scaled)
+
+
+def _val_specs(pl, pltpu, K, B, n, m, scaled):
+    """BlockSpecs for one MP operand: limbs [K, B, n, m] (+ exp [B, n, m])."""
+    specs = [pl.BlockSpec((K, 1, n, m), lambda b: (0, b, 0, 0),
+                          memory_space=pltpu.VMEM)]
+    if scaled:
+        specs.append(pl.BlockSpec((1, n, m), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
+def _val_args(a: MP):
+    return (a.limbs, a.exp) if a.scaled else (a.limbs,)
+
+
+def _val_out(pl, pltpu, K, B, n, m, dtype, scaled):
+    shapes = [jax.ShapeDtypeStruct((K, B, n, m), dtype)]
+    if scaled:
+        shapes.append(jax.ShapeDtypeStruct((B, n, m), jnp.int32))
+    return _val_specs(pl, pltpu, K, B, n, m, scaled), shapes
+
+
+def _as_batched(a: MP):
+    """Canonicalize [..., n, m] MP to 4-D limbs [K, B, n, m]; returns
+    (mp4, unflatten) where unflatten restores the original batch shape."""
+    shape = a.shape
+    batch = shape[:-2]
+    n, m = shape[-2], shape[-1]
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    limbs = a.limbs.reshape((a.limbs.shape[0], B, n, m))
+    exp = None if a.exp is None else a.exp.reshape((B, n, m))
+
+    def unflatten(r: MP) -> MP:
+        rl = r.limbs.reshape((r.limbs.shape[0],) + batch + (n, r.shape[-1]))
+        re = (None if r.exp is None
+              else r.exp.reshape(batch + (n, r.shape[-1])))
+        return MP(rl, re)
+
+    return MP(limbs, exp), unflatten
+
+
+def _factor_vmem_words(K, n, m, n_mats):
+    return K * n_mats * n * m
+
+
+def pallas_cholesky_viable(A: MP) -> bool:
+    if jax.default_backend() == "cpu":
+        return False
+    if A.dtype != jnp.float32:
+        return False
+    n = A.shape[-1]
+    if _factor_vmem_words(A.K, n, n, 4) * 4 >= _VMEM_LIMIT:
+        return False
+    return n >= 16
+
+
+def pallas_trsm_viable(T: MP, B: MP) -> bool:
+    if jax.default_backend() == "cpu":
+        return False
+    if T.dtype != jnp.float32:
+        return False
+    n, m = B.shape[-2], B.shape[-1]
+    if (_factor_vmem_words(T.K, n, n, 2)
+            + _factor_vmem_words(T.K, n, m, 3)) * 4 >= _VMEM_LIMIT:
+        return False
+    return n >= 16
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_call(a: MP, interpret: bool = False) -> MP:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = a.K
+    B, n = a.shape[0], a.shape[-1]
+    kernel = functools.partial(_cholesky_kernel, K=K, scaled=a.scaled)
+    in_specs = _val_specs(pl, pltpu, K, B, n, n, a.scaled)
+    out_specs, out_shapes = _val_out(pl, pltpu, K, B, n, n, a.dtype, a.scaled)
+    res = pl.pallas_call(
+        kernel, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(*_val_args(a))
+    return MP(res[0], res[1] if a.scaled else None)
+
+
+@functools.partial(jax.jit, static_argnames=("lower", "interpret"))
+def _trsm_call(t: MP, b: MP, lower: bool, interpret: bool = False) -> MP:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = t.K
+    B, n, m = b.shape[0], b.shape[-2], b.shape[-1]
+    kernel = functools.partial(_trsm_kernel, K=K, scaled=t.scaled,
+                               lower=lower)
+    in_specs = (_val_specs(pl, pltpu, K, B, n, n, t.scaled)
+                + _val_specs(pl, pltpu, K, B, n, m, b.scaled))
+    out_specs, out_shapes = _val_out(pl, pltpu, K, B, n, m, b.dtype, b.scaled)
+    res = pl.pallas_call(
+        kernel, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(*_val_args(t), *_val_args(b))
+    return MP(res[0], res[1] if b.scaled else None)
+
+
+def mp_cholesky(a: MP, interpret: bool = False) -> MP:
+    """Batched MP Cholesky via the Pallas kernel (callers guard with
+    pallas_cholesky_viable)."""
+    a4, unflatten = _as_batched(a)
+    return unflatten(_chol_call(a4, interpret=interpret))
+
+
+def mp_solve_triangular(t: MP, b: MP, lower: bool = True,
+                        interpret: bool = False) -> MP:
+    """X = T^{-1} B via the Pallas substitution kernel.  `lower=False`
+    expects T upper-triangular (pass L.mT for the transpose solve)."""
+    t4, _ = _as_batched(t)
+    b4, unflatten = _as_batched(b)
+    return unflatten(_trsm_call(t4, b4, lower, interpret=interpret))

@@ -77,6 +77,7 @@ def run_solver(
     mesh=None,
     mesh_mode: str = "shard_map",
     big_bytes: int = 1 << 30,
+    use_compile_cache: bool = False,
 ) -> SolveResult:
     K = sdp.b.K
     dtype = sdp.b.dtype
@@ -151,7 +152,15 @@ def run_solver(
             from ..parallel.mesh import make_sharded_iteration
 
             return make_sharded_iteration(sdp, state, cfg, mesh, axis)
-        return jax.jit(make_iteration(cfg))
+        fn = jax.jit(make_iteration(cfg))
+        if use_compile_cache:
+            # on-disk executable cache: remote (axon) TPU compiles are not
+            # covered by the jax persistent cache, so fresh processes would
+            # re-pay the full server-side compile every run
+            from ..ops.compile_cache import cached_compile
+
+            return cached_compile(fn, sdp, state, verbose=verbosity >= 2)
+        return fn
 
     cfg = make_cfg(factor_limbs)
     with timers.scope("run.initialize"):
