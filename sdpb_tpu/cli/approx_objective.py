@@ -34,12 +34,17 @@ def main(argv=None) -> int:
                         "later invocations skip the rebuild "
                         "(setup_solver.cxx:40-52 analog)")
     p.add_argument("--procsPerNode", type=int, default=0)
+    p.add_argument("--platform", choices=["auto", "cpu"], default="cpu",
+                   help="'cpu' (default): classic float64 limbs — "
+                        "postprocessing-scale work; 'auto': the default "
+                        "backend, with the SCALED/WIDE exponent-tracked "
+                        "f32 representation on TPU (the production solver "
+                        "numerics)")
     args = p.parse_args(argv)
 
     from .common import setup_backend
 
-    # postprocessing-scale work; f64 limbs keep high --precision practical
-    setup_backend(force_cpu=True)
+    setup_backend(force_cpu=(args.platform == "cpu"))
     import jax
 
     from ..io.sdp_zip import read_sdp
@@ -53,18 +58,29 @@ def main(argv=None) -> int:
 
     dtype = default_base_dtype()
     np_dtype = np.float32 if dtype == jnp.float32 else np.float64
-    K = limbs_for_precision(args.precision, dtype)
+    # f32 backends use the scaled/wide exponent-tracked representation
+    # (the TPU production numerics; models.sdp.build_device_sdp)
+    scaled_limbs = 0
+    if np_dtype == np.float32:
+        scaled_limbs = limbs_for_precision(args.precision, dtype)
+        K = -(-(24 * scaled_limbs) // 53) + 1   # f64 host limbs
+        np_dtype = np.float64
+    else:
+        K = limbs_for_precision(args.precision, dtype)
     base = args.sdp[:-4] if args.sdp.endswith(".zip") else args.sdp
     solution_dir = Path(args.solutionDir or (base + "_out"))
 
     host_old = read_sdp(args.sdp, K, np_dtype)
-    sdp = build_device_sdp(host_old)
+    sdp = build_device_sdp(host_old, scaled_limbs=scaled_limbs)
     state = load_text_checkpoint(solution_dir, sdp, verbosity=0)
 
     # the frozen Schur solver factors S at the SOLVED point, where
-    # cond(S) ~ 1/gap^2 is maximal — use full factor precision
-    factor_limbs = K
-    n_refine = 1
+    # cond(S) ~ 1/gap^2 is maximal — use full factor precision (capped at
+    # 9 base limbs in wide mode: factorizations stay on the base
+    # representation, refinement recovers the rest; ops.mpwide)
+    K_dev = sdp.b.K
+    factor_limbs = min(K_dev, 9) if scaled_limbs else K
+    n_refine = 1 if not scaled_limbs else max(1, -(-K_dev // factor_limbs))
 
     from ..tools.approx_objective import (load_solver_state, make_setup_fn,
                                           save_solver_state)
@@ -102,11 +118,13 @@ def main(argv=None) -> int:
     results = []
     for path in new_paths:
         host_new = read_sdp(path, K, np_dtype)
-        d_cs, d_Bs = sdp_delta_buckets(sdp, host_old, host_new, K, np_dtype)
-        from ..ops.mpfloat import MP
+        d_cs, d_Bs = sdp_delta_buckets(sdp, host_old, host_new, K, np_dtype,
+                                       scaled_limbs=scaled_limbs)
+        from ..tools.approx_objective import stage_host_mp
 
-        d_const = MP(jnp.asarray(host_new.objective_const - host_old.objective_const))
-        d_b = MP(jnp.asarray(host_new.b - host_old.b))
+        d_const = stage_host_mp(
+            host_new.objective_const - host_old.objective_const, scaled_limbs)
+        d_b = stage_host_mp(host_new.b - host_old.b, scaled_limbs)
         total, d_obj, dd_obj = fn(sdp, state, frozen, d_const, d_b, d_cs,
                                   d_Bs, quadratic=not args.linear)
         results.append({

@@ -104,15 +104,17 @@ def main(argv=None) -> int:
     verbosity = args.verbosity
 
     # TPU: SCALED f32 limbs (per-element exponents; full range, <= 216
-    # bits).  CPU: classic f64 limbs (any precision).
+    # bits), or the WIDE multi-word representation beyond that
+    # (ops.mpwide; covers the reference's default --precision 400,
+    # Solver_Parameters.cxx:18).  CPU: classic f64 limbs (any precision).
     scaled_limbs = 0
     if np_dtype.__name__ == "float32":
         scaled_limbs = limbs_for_precision(params.precision, dtype)
-        if scaled_limbs > 9:
+        if scaled_limbs > 27:
             raise SystemExit(
                 f"--precision {params.precision} needs {scaled_limbs} f32 "
-                "limbs; scaled-f32 supports <= 9 (216 bits). Use "
-                "--platform cpu (float64 limbs) for higher precision.")
+                "limbs; the wide representation supports <= 27 (648 bits). "
+                "Use --platform cpu (float64 limbs) for higher precision.")
         import numpy as np
 
         K = -(-(24 * scaled_limbs) // 53) + 1   # f64 host limbs
@@ -142,17 +144,28 @@ def main(argv=None) -> int:
     from ..parallel.timing import load_timings, save_timings, timing_run
 
     timings = load_timings(ck_dir)
-    # multihost: wall-clock measurements can disagree across processes and
-    # would fork the SPMD program — only a pre-existing (shared-FS) timings
-    # file is honored there, like the reference's root-decides pattern
     if (timings is None and args.timingRun != "never"
-            and host.num_blocks > 1 and jax.process_count() == 1):
-        if verbosity >= 1:
-            print("no block timings found; running 2-iteration timing run "
-                  "(persisted to checkpointDir/block_timings.json)")
-        timings = timing_run(host, params, verbosity=verbosity,
-                             scaled_limbs=scaled_limbs)
-        save_timings(ck_dir, timings)
+            and host.num_blocks > 1):
+        if jax.process_count() == 1:
+            if verbosity >= 1:
+                print("no block timings found; running 2-iteration timing "
+                      "run (persisted to checkpointDir/block_timings.json)")
+            timings = timing_run(host, params, verbosity=verbosity,
+                                 scaled_limbs=scaled_limbs)
+            save_timings(ck_dir, timings)
+        else:
+            # multihost: the coordinator measures and broadcasts the record
+            # so every process derives the identical bucketing policy (the
+            # reference's root-decides pattern, main.cxx:50-91 +
+            # run.cxx:125-126); the broadcast is also the barrier
+            from ..parallel.timing import timing_run_broadcast
+
+            if verbosity >= 1:
+                print("no block timings found; coordinator running the "
+                      "timing run (record broadcast to all processes)")
+            timings = timing_run_broadcast(host, params, ck_dir,
+                                           verbosity=verbosity,
+                                           scaled_limbs=scaled_limbs)
     policy, quant, block_costs = "quantized", 8, None
     if timings is not None:
         policy = timings["chosen"]["policy"]

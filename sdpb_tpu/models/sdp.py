@@ -200,6 +200,11 @@ def build_device_sdp(sdp: SDPData, pad_to: int = 1, shape_policy: str = "quantiz
         """Host [K, *shape] limb array -> device MP (either representation)."""
         if not scaled_limbs:
             return MP(jnp.asarray(arr, dtype=dtype))
+        if scaled_limbs > 9:
+            # WIDE (>216-bit) staging: G words, each its own exponent plane
+            from ..ops.mpwide import f64_limbs_to_wide_parts, wide_parts_to_mp
+
+            return wide_parts_to_mp(f64_limbs_to_wide_parts(arr, scaled_limbs))
         limbs, exp = mp.f64_limbs_to_scaled_parts(arr, scaled_limbs)
         return MP(jnp.asarray(limbs), jnp.asarray(exp))
 

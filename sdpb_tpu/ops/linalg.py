@@ -50,10 +50,8 @@ def matmul(a: MP, b: MP, chunk: int = 128) -> MP:
 
     def _expand(x: MP, y: MP) -> MP:
         # x [..., M, c] -> [..., M, c, 1]; y [..., c, N] -> [..., 1, c, N]
-        xe = MP(x.limbs[..., :, :, None],
-                None if x.exp is None else x.exp[..., :, :, None])
-        ye = MP(y.limbs[..., None, :, :],
-                None if y.exp is None else y.exp[..., None, :, :])
+        xe = mp.expand_dims(x, -1)
+        ye = mp.expand_dims(y, -3)
         terms = mp.mul(xe, ye)
         return mp.sum_(terms, axis=terms.ndim - 2)
 
@@ -78,8 +76,7 @@ def matmul(a: MP, b: MP, chunk: int = 128) -> MP:
 
 def col(x: MP) -> MP:
     """Append a trailing singleton axis: [..., n] -> [..., n, 1]."""
-    return MP(jnp.expand_dims(x.limbs, -1),
-              None if x.exp is None else jnp.expand_dims(x.exp, -1))
+    return mp.expand_dims(x, -1)
 
 
 def matvec(a: MP, x: MP, chunk: int = 128) -> MP:
@@ -87,9 +84,7 @@ def matvec(a: MP, x: MP, chunk: int = 128) -> MP:
 
 
 def outer(u: MP, v: MP) -> MP:
-    ue = MP(u.limbs[..., :, None], None if u.exp is None else u.exp[..., :, None])
-    ve = MP(v.limbs[..., None, :], None if v.exp is None else v.exp[..., None, :])
-    return mp.mul(ue, ve)
+    return mp.mul(mp.expand_dims(u, -1), mp.expand_dims(v, -2))
 
 
 def symmetrize(a: MP) -> MP:
@@ -112,8 +107,7 @@ def trace(a: MP) -> MP:
 
 def row(x: MP) -> MP:
     """Prepend a singleton row axis: [..., m] -> [..., 1, m]."""
-    return MP(jnp.expand_dims(x.limbs, -2),
-              None if x.exp is None else jnp.expand_dims(x.exp, -2))
+    return mp.expand_dims(x, -2)
 
 
 # ---------------------------------------------------------------------------

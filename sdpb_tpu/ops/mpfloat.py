@@ -64,6 +64,19 @@ from .eft import two_sum, quick_two_sum, split, two_prod_presplit, MANT_BITS
 # exponents (mul) cannot wrap.
 EXP_ZERO = np.int32(-(1 << 24))
 
+
+def _is_wide(x) -> bool:
+    """True for ops.mpwide.MPW compound values (>216-bit scaled).  Checked
+    by name to avoid a circular import; every public entry point of this
+    module routes wide operands to ops.mpwide."""
+    return type(x).__name__ == "MPW"
+
+
+def _wide():
+    from . import mpwide
+
+    return mpwide
+
 # renorm switches to lax.scan sweeps at this K (compile-time vs fused-kernel
 # runtime trade; see module docstring).  Overridable for experiments.
 # NOTE: which side wins is PLATFORM-dependent — XLA:CPU chokes on big
@@ -218,8 +231,8 @@ class MP:
         return le(_coerce(o, self), self)
 
 
-def _coerce(x, like: MP) -> MP:
-    if isinstance(x, MP):
+def _coerce(x, like) -> MP:
+    if isinstance(x, MP) or _is_wide(x):
         return x
     return from_double(x, like.K, like.dtype, scaled=like.scaled)
 
@@ -252,9 +265,28 @@ def _scale_pow2_arr(limbs, d):
     out = limbs
     for _ in range(3):
         step = jnp.clip(d, -126, 127)
-        out = out * _pow2f(step)[None]
+        # barrier: keep XLA from combining the staged factors (their
+        # product can overflow f32 even though each staged result is exact).
+        # The exit barrier also stops reassociation ACROSS op boundaries —
+        # this call's last factor fusing with the NEXT op's first factor.
+        out = jax.lax.optimization_barrier(out * _pow2f(step)[None])
         d = d - step
-    return jnp.where((d < 0)[None], jnp.zeros_like(out), out)
+    return jax.lax.optimization_barrier(
+        jnp.where((d < 0)[None], jnp.zeros_like(out), out))
+
+
+def _scale_pow2_rows(rows, d):
+    """rows * 2^d with d PER ROW (both [m, *shape]); exact staged pow2
+    multiplies with barriers (see _scale_pow2_arr, which instead applies a
+    per-VALUE d to every limb row)."""
+    d = jnp.asarray(d, jnp.int32)
+    out = rows
+    for _ in range(3):
+        step = jnp.clip(d, -126, 127)
+        out = jax.lax.optimization_barrier(out * _pow2f(step))
+        d = d - step
+    return jax.lax.optimization_barrier(
+        jnp.where(d < 0, jnp.zeros_like(out), out))
 
 
 def _exp_bits_f32(x):
@@ -291,6 +323,8 @@ def _assert_scaled_ok(K, dtype):
 
 
 def zeros(shape, K, dtype=jnp.float32, scaled: bool = False) -> MP:
+    if scaled and K > 9:
+        return _wide().zeros(shape, K, dtype)
     limbs = jnp.zeros((K,) + tuple(shape), dtype=dtype)
     if not scaled:
         return MP(limbs)
@@ -322,8 +356,10 @@ def from_double(x, K, dtype=jnp.float32, scaled: bool = False) -> MP:
     A float64 value is exactly representable in <= 3 float32 limbs (or 1
     float64 limb), so for host (numpy) input this is lossless in both modes.
     """
-    if isinstance(x, MP):
+    if isinstance(x, MP) or _is_wide(x):
         raise TypeError("already MP")
+    if scaled and K > 9:
+        return _wide().from_double(x, K, dtype)
     dt = jnp.dtype(dtype)
     if scaled:
         _assert_scaled_ok(K, dtype)
@@ -461,6 +497,8 @@ def host_f64_limbs(a: MP, K64: int = 0) -> np.ndarray:
     """Any host-materialized MP -> classic float64 limb stack (see
     scaled_parts_to_f64_limbs).  K64 defaults to enough limbs to keep the
     full mantissa."""
+    if _is_wide(a):
+        return _wide().host_f64_limbs(a, K64)
     p = 24 if jnp.dtype(a.dtype) == jnp.dtype(jnp.float32) else 53
     if not K64:
         K64 = -(-(p * a.K) // 53) + 1
@@ -512,6 +550,8 @@ def to_double(a: MP):
     Only meaningful on backends with real float64 (host/CPU); used for
     logging and termination checks, never inside the precision-critical path.
     """
+    if _is_wide(a):
+        return _wide().to_double(a)
     acc = a.limbs[0].astype(jnp.float64)
     for i in range(1, a.K):
         acc = acc + a.limbs[i].astype(jnp.float64)
@@ -531,6 +571,8 @@ def to_float_array(a: MP):
     """Approximation in the base dtype (top limb + next limb).  Scaled mode
     folds the exponent in with saturation: overflow -> +-finfo.max,
     underflow -> 0 (adequate for the logging/threshold/seed uses)."""
+    if _is_wide(a):
+        return _wide().to_float_array(a)
     m = a.limbs[0] if a.K == 1 else a.limbs[0] + a.limbs[1]
     if not a.scaled:
         return m
@@ -553,6 +595,10 @@ def round_to(a: MP, K: int) -> MP:
     expansions: limbs are non-overlapping, so dropping the tail rounds to
     ~K*p bits).  K larger than a.K zero-extends.  Scaled mode re-centers the
     mantissa on the new K's ladder."""
+    if _is_wide(a):
+        return _wide().round_to(a, K)
+    if not _is_wide(a) and a.scaled and K > 9:
+        return _wide().widen(a, K)
     if K == a.K:
         return a
     if K < a.K:
@@ -571,6 +617,8 @@ def round_to(a: MP, K: int) -> MP:
 
 
 def neg(a: MP) -> MP:
+    if _is_wide(a):
+        return _wide().neg(a)
     return MP(-a.limbs, a.exp)
 
 
@@ -578,6 +626,8 @@ def mask_value(a: MP, m) -> MP:
     """Zero out elements where mask m (broadcastable to a.shape) is 0.
     Scaled mode floors the masked exponents so dead elements never dominate
     an alignment max."""
+    if _is_wide(a):
+        return _wide().mask_value(a, m)
     mb = jnp.broadcast_to(m, a.shape).astype(a.dtype)
     limbs = a.limbs * mb[None]
     if a.exp is None:
@@ -587,6 +637,8 @@ def mask_value(a: MP, m) -> MP:
 
 
 def take(a: MP, idx, axis: int) -> MP:
+    if _is_wide(a):
+        return _wide().take(a, idx, axis)
     axis = axis % a.ndim
     limbs = jnp.take(a.limbs, idx, axis=axis + 1)
     e = None if a.exp is None else jnp.take(a.exp, idx, axis=axis)
@@ -594,6 +646,8 @@ def take(a: MP, idx, axis: int) -> MP:
 
 
 def stack(ms: List[MP], axis: int) -> MP:
+    if _is_wide(ms[0]):
+        return _wide().stack(ms, axis)
     nd = ms[0].ndim + 1
     axis = axis % nd
     limbs = jnp.stack([m.limbs for m in ms], axis=axis + 1)
@@ -605,6 +659,8 @@ def stack(ms: List[MP], axis: int) -> MP:
 
 
 def concatenate(ms: List[MP], axis: int) -> MP:
+    if _is_wide(ms[0]):
+        return _wide().concatenate(ms, axis)
     axis = axis % ms[0].ndim
     limbs = jnp.concatenate([m.limbs for m in ms], axis=axis + 1)
     if ms[0].exp is None:
@@ -614,6 +670,8 @@ def concatenate(ms: List[MP], axis: int) -> MP:
 
 
 def broadcast_to(a: MP, shape) -> MP:
+    if _is_wide(a):
+        return _wide().broadcast_to(a, shape)
     shape = tuple(shape)
     limbs = _bcast(a.limbs, a.K, shape)
     e = None if a.exp is None else jnp.broadcast_to(a.exp, shape)
@@ -622,6 +680,8 @@ def broadcast_to(a: MP, shape) -> MP:
 
 def diagonal(a: MP) -> MP:
     """Diagonal over the last two value axes."""
+    if _is_wide(a):
+        return _wide().diagonal(a)
     l = jnp.diagonal(a.limbs, axis1=-2, axis2=-1)
     e = None if a.exp is None else jnp.diagonal(a.exp, axis1=-2, axis2=-1)
     return MP(l, e)
@@ -629,6 +689,8 @@ def diagonal(a: MP) -> MP:
 
 def set_block(a: MP, idx: tuple, b: MP) -> MP:
     """a with the value-slice a[idx] replaced by b (shapes must match)."""
+    if _is_wide(a):
+        return _wide().set_block(a, idx, b)
     limbs = a.limbs.at[(slice(None),) + idx].set(b.limbs)
     if a.exp is None:
         return MP(limbs)
@@ -639,6 +701,8 @@ def set_block(a: MP, idx: tuple, b: MP) -> MP:
 
 def scalar_eye(s: MP, n: int) -> MP:
     """s * I as an [..., n, n] MP from a scalar/batched-scalar s."""
+    if _is_wide(s):
+        return _wide().scalar_eye(s, n)
     eye = jnp.eye(n, dtype=s.dtype)
     limbs = s.limbs[..., None, None] * eye
     if s.exp is None:
@@ -649,6 +713,8 @@ def scalar_eye(s: MP, n: int) -> MP:
 
 def expand_dims(a: MP, axis: int) -> MP:
     """Insert a singleton value axis at `axis` (negative = from the end)."""
+    if _is_wide(a):
+        return _wide().expand_dims(a, axis)
     if axis < 0:
         axis = a.ndim + 1 + axis
     limbs = jnp.expand_dims(a.limbs, axis + 1)
@@ -665,6 +731,8 @@ def align_mantissa(a: MP, e) -> MP:
 
 
 def dynamic_slice_in_dim(a: MP, start, size: int, axis: int) -> MP:
+    if _is_wide(a):
+        return _wide().dynamic_slice_in_dim(a, start, size, axis)
     axis = axis % a.ndim
     limbs = jax.lax.dynamic_slice_in_dim(a.limbs, start, size, axis=axis + 1)
     e = None
@@ -675,6 +743,8 @@ def dynamic_slice_in_dim(a: MP, start, size: int, axis: int) -> MP:
 
 def pad_dim(a: MP, axis: int, count: int) -> MP:
     """Zero-pad `count` elements at the end of value axis `axis`."""
+    if _is_wide(a):
+        return _wide().pad_dim(a, axis, count)
     axis = axis % a.ndim
     cfg = [(0, 0)] * (a.ndim + 1)
     cfg[axis + 1] = (0, count)
@@ -812,6 +882,8 @@ def _broadcast_limbs(a: MP, b: MP):
 
 
 def add(a: MP, b: MP) -> MP:
+    if _is_wide(a) or _is_wide(b):
+        return _wide().add(a, b)
     assert a.K == b.K, (a.K, b.K)
     _check_modes(a, b)
     K = a.K
@@ -920,6 +992,8 @@ def mul(a: MP, b: MP) -> MP:
     graph is O(1) in K); scaled mode additionally rides the per-element
     exponent through a uniform-magnitude rescale (see module docstring).
     """
+    if _is_wide(a) or _is_wide(b):
+        return _wide().mul(a, b)
     assert a.K == b.K
     _check_modes(a, b)
     K = a.K
@@ -952,6 +1026,207 @@ def mul(a: MP, b: MP) -> MP:
     return renorm(xs, K)
 
 
+def _sweeps_exact_scan(S, K):
+    """K bottom-up extraction sweeps over the stacked [m, *shape] limbs,
+    returning ALL m rows (no tail chain-sum): rows [0..K-1] hold the
+    extracted limbs, rows [K..m-1] the EXACT residual of the multiset sum.
+
+    Exactness precondition (the LATTICE INVARIANT): every input row is an
+    integer multiple of 2^-126 with magnitude < 2^127.  Sums/differences
+    of such values are again multiples of 2^-126, so no TwoSum
+    intermediate can be subnormal — which matters because TPU f32 ADDS
+    flush subnormal results and XLA:CPU f32 MULTIPLIES flush them (FTZ);
+    both were measured.  add_full/mul_full route their stacks to satisfy
+    this.  The error-free building block of the wide (>216-bit) words."""
+    m = S.shape[0]
+
+    def step(carry, x):
+        s, e = two_sum(x, carry)
+        return s, e
+
+    for k in range(min(K, m - 1)):
+        seg = S[k:]
+        rev = jnp.flip(seg[:-1], axis=0)
+        c, errs = jax.lax.scan(step, seg[-1], rev, unroll=_SCAN_UNROLL)
+        errs = jnp.flip(errs, axis=0)
+        S = jnp.concatenate([S[:k], c[None], errs], axis=0)
+    return S
+
+
+def _mul_term_plan_full(K):
+    """Gather order for the FULL (untruncated) limb product: every TwoProd
+    and its error term, ordered by product diagonal (approximate magnitude
+    order for the extraction sweeps).  Index i*K+j addresses products,
+    K*K + i*K+j their errors; idx %% K*K recovers the pair for the
+    per-pair dynamic placement exponent."""
+    idx = []
+    for n in range(2 * K - 1):
+        for i in range(max(0, n - K + 1), min(K, n + 1)):
+            j = n - i
+            idx.append(i * K + j)
+            idx.append(K * K + i * K + j)
+    return np.asarray(idx, np.int32)
+
+
+def mul_full(a: MP, b: MP):
+    """Scaled-mode product as TWO scaled words (hi, lo) with
+    hi + lo == a * b EXACTLY (to ~48K bits): no diagonal of the limb
+    product is dropped, the hi word is extracted error-free
+    (_sweeps_exact_scan) and its exact residual is re-laddered onto the lo
+    word's exponent.
+
+    Every limb is lifted to ~2^_MUL_UNIFORM_EXP by its OWN exact power of
+    two (content gaps put real limbs far below their nominal rung; a
+    static pre-scale would push their products into f32 subnormals, which
+    XLA:CPU zeroes via DAZ/FTZ and TPU adds flush).  Placement exponents
+    are therefore per-pair int32 arrays, and rows route onto the HI or LO
+    ladder content-based, exactly as in add_full — preserving the lattice
+    invariant (_sweeps_exact_scan docstring) on both stacks.
+
+    This is the double-word building block of the WIDE (>216-bit)
+    representation (ops.mpwide) — the TPU analog of GMP's full-length limb
+    products (El::BigFloat keeps all limbs; precision is set globally at
+    /root/reference/src/sdpb/main.cxx:33)."""
+    assert a.scaled and b.scaled and a.K == b.K
+    K = a.K
+    U = _MUL_UNIFORM_EXP
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    al = _bcast(a.limbs, K, shape)
+    bl = _bcast(b.limbs, K, shape)
+    C = center_for(K)
+    ea = _exp_bits_f32(al)
+    eb = _exp_bits_f32(bl)
+    lift_a = jnp.where(ea == 0, 0, U + 127 - ea)     # zeros stay put
+    lift_b = jnp.where(eb == 0, 0, U + 127 - eb)
+
+    def _lift(x, r):
+        r1 = jnp.clip(r, -126, 127)
+        r2 = jnp.clip(r - r1, -126, 127)
+        return jax.lax.optimization_barrier(x * _pow2f(r1)) * _pow2f(r2)
+
+    As = _lift(al, lift_a)
+    Bs = _lift(bl, lift_b)
+    ah, alo = split(As)
+    bh, blo = split(Bs)
+    P = As[:, None] * Bs[None, :]
+    E = ((ah[:, None] * bh[None, :] - P) + ah[:, None] * blo[None, :]
+         + alo[:, None] * bh[None, :]) + alo[:, None] * blo[None, :]
+    PE = jnp.concatenate([P.reshape((K * K,) + shape),
+                          E.reshape((K * K,) + shape)], axis=0)
+    # per-pair placement exponent on the HI ladder (stored frame)
+    D = (-(lift_a[:, None] + lift_b[None, :]) - C).reshape((K * K,) + shape)
+    exp_hi = (jnp.broadcast_to(a.exp, shape)
+              + jnp.broadcast_to(b.exp, shape) + C)
+    exp_lo = exp_hi - 24 * K
+
+    idx = _mul_term_plan_full(K)
+    G = PE[jnp.asarray(idx)]
+    Drow = D[jnp.asarray(idx % (K * K))]
+    ebG = _exp_bits_f32(G)
+    keep_hi = (ebG + Drow) >= 24        # full mantissa stays normal on HI
+    S_hi = _scale_pow2_rows(jnp.where(keep_hi, G, 0.0), Drow)
+    S_lo = _scale_pow2_rows(jnp.where(keep_hi, 0.0, G), Drow + 24 * K)
+
+    rows = jax.lax.optimization_barrier(tuple(S_hi[i] for i in range(S_hi.shape[0])))
+    S_hi = jnp.stack(rows, axis=0)
+    S_hi = _sweeps_exact_scan(S_hi, K)
+    his = [S_hi[i] for i in range(K)]
+    # compaction confined to the extracted limbs (exact rearrangement; the
+    # few-bit overlap of the last limb with the residual is absorbed by the
+    # lo word's renorm)
+    for i in range(K - 1):
+        his[i], his[i + 1] = two_sum(his[i], his[i + 1])
+    for i in range(K - 1, 0, -1):
+        his[i - 1], his[i] = two_sum(his[i - 1], his[i])
+    hi_limbs, hi_e = _normalize_scaled(jnp.stack(his, axis=0), exp_hi, K)
+    hi = MP(hi_limbs, hi_e)
+
+    # exact residual, re-laddered 24K binary digits up onto the lo exponent
+    res = S_hi[K:]
+    sc = 24 * K
+    while sc > 0:
+        stp = min(sc, 108)
+        # barrier: XLA would fold consecutive constant pow2 factors into
+        # one f32 constant that overflows (2^216 = inf -> 0*inf = NaN)
+        res = jax.lax.optimization_barrier(res * np.float32(2.0 ** stp))
+        sc -= stp
+    lo = _renorm_stacked(jnp.concatenate([res, S_lo], axis=0), K, exp=exp_lo)
+    return hi, lo
+
+
+def add_full(a: MP, b: MP):
+    """Scaled-mode TwoSum as TWO scaled words: hi + lo == a + b exactly.
+
+    The word-level error-free transform of the wide representation
+    (ops.mpwide).  Limb rows of both operands are routed onto one of two
+    ladders by their per-element offset below the common top: rows within
+    ~C+100 bits stay on the HI ladder (fully representable f32 normals),
+    deeper rows go DIRECTLY to the LO ladder (24K bits down) — so no
+    alignment flush can lose in-window bits, unlike the single-ladder
+    base add whose window is ~242 bits.  The HI stack is distilled with
+    magnitude-safe TwoSums (no intermediate can flush) and its exact
+    residual joins the LO stack.
+
+    Exactness contract: exact for leading cancellation up to ~C+126 bits
+    (~242); deeper cancellation loses only bits >242 below the inputs'
+    top — the same bound GMP hits at 242-bit precision, documented in
+    ops.mpwide (the IPM's conditioning keeps cancellations well inside
+    this at the 1e-30 duality-gap contract).
+    """
+    assert a.scaled and b.scaled and a.K == b.K, (a.K, b.K)
+    K = a.K
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    al = _bcast(a.limbs, K, shape)
+    bl = _bcast(b.limbs, K, shape)
+    ae = jnp.broadcast_to(a.exp, shape)
+    be = jnp.broadcast_to(b.exp, shape)
+    e_hi = jnp.maximum(ae, be)
+    e_lo = e_hi - 24 * K
+
+    def route(limbs, we):
+        # CONTENT-based split (per row per element): a row stays on the HI
+        # ladder only if its whole 24-bit mantissa survives the 2^d rescale
+        # as f32 normals (lowest bit eb-127-23+d >= -126 <=> eb+d >= 24);
+        # deeper rows go to the LO ladder, 24K bits down.  Index-based
+        # routing is NOT enough: limbs sit below their nominal ladder rung
+        # after cancellation, and both backends flush subnormals somewhere
+        # (TPU: add results; XLA:CPU: multiply results, FTZ) — measured as
+        # a hard -242-bit accuracy floor on the wide add.
+        d = we - e_hi                          # <= 0
+        eb = _exp_bits_f32(limbs)
+        keep_hi = (eb + d[None]) >= 24
+        hi = _scale_pow2_arr(jnp.where(keep_hi, limbs, 0.0), d)
+        lo = _scale_pow2_arr(jnp.where(keep_hi, 0.0, limbs), d + 24 * K)
+        return hi, lo
+
+    a_hi, a_lo = route(al, ae)
+    b_hi, b_lo = route(bl, be)
+    S_hi = jnp.stack([a_hi, b_hi], axis=1).reshape((2 * K,) + shape)
+    rows = jax.lax.optimization_barrier(tuple(S_hi[i] for i in range(2 * K)))
+    S_hi = jnp.stack(rows, axis=0)
+    S_hi = _sweeps_exact_scan(S_hi, K)
+    his = [S_hi[i] for i in range(K)]
+    for i in range(K - 1):
+        his[i], his[i + 1] = two_sum(his[i], his[i + 1])
+    for i in range(K - 1, 0, -1):
+        his[i - 1], his[i] = two_sum(his[i - 1], his[i])
+    hi_limbs, hi_e = _normalize_scaled(jnp.stack(his, axis=0), e_hi, K)
+    hi = MP(hi_limbs, hi_e)
+
+    res = S_hi[K:]
+    sc = 24 * K
+    while sc > 0:
+        stp = min(sc, 108)
+        # barrier: see mul_full — consecutive constant pow2 factors fold
+        res = jax.lax.optimization_barrier(res * np.float32(2.0 ** stp))
+        sc -= stp
+    S_lo = jnp.concatenate(
+        [res, jnp.stack([a_lo, b_lo], axis=1).reshape((2 * K,) + shape)],
+        axis=0)
+    lo = _renorm_stacked(S_lo, K, exp=e_lo)
+    return hi, lo
+
+
 def mul_pow2(a: MP, p) -> MP:
     """Exact scaling by a power of two (per-element or scalar).
 
@@ -959,6 +1234,8 @@ def mul_pow2(a: MP, p) -> MP:
     scalar would otherwise upcast float32 limbs under jax_enable_x64.
     Scaled mode with a host power-of-two scalar adjusts the exponent only
     (keeping the mantissa normalized)."""
+    if _is_wide(a):
+        return _wide().mul_pow2(a, p)
     if a.scaled and not isinstance(p, jax.Array):
         pf = float(p)
         e = int(np.log2(abs(pf)))
@@ -994,6 +1271,8 @@ def _seed_mantissa(b: MP):
 
 
 def reciprocal(b: MP) -> MP:
+    if _is_wide(b):
+        return _wide().reciprocal(b)
     one = from_double(np.float64(1.0), b.K, b.dtype, scaled=b.scaled)
     if b.scaled:
         C = center_for(b.K)
@@ -1024,6 +1303,8 @@ def rsqrt(a: MP) -> MP:
     """1/sqrt(a) via Newton; a must be > 0 (zero/negative produce garbage —
     callers guard).  One Newton chain serves both sqrt and the inverse,
     which halves the factorization loop bodies (see linalg.cholesky)."""
+    if _is_wide(a):
+        return _wide().rsqrt(a)
     half = from_double(np.float64(0.5), a.K, a.dtype, scaled=a.scaled)
     three_half = from_double(np.float64(1.5), a.K, a.dtype, scaled=a.scaled)
     if a.scaled:
@@ -1051,6 +1332,8 @@ def sqrt(a: MP) -> MP:
 
     Zero inputs return zero (guarded), negative inputs produce NaN.
     """
+    if _is_wide(a):
+        return _wide().sqrt(a)
     half = from_double(np.float64(0.5), a.K, a.dtype, scaled=a.scaled)
     top = a.limbs[0]
     is_zero = top <= 0
@@ -1085,6 +1368,8 @@ def _one_like_limbs(a: MP):
 def sign_array(a: MP):
     """Elementwise sign in base dtype: sign of the first nonzero limb.
     (Scaled mode: the exponent never changes the sign.)"""
+    if _is_wide(a):
+        return _wide().sign_array(a)
     s = jnp.sign(a.limbs[a.K - 1])
     for i in range(a.K - 2, -1, -1):
         s = jnp.where(a.limbs[i] != 0, jnp.sign(a.limbs[i]), s)
@@ -1100,6 +1385,8 @@ def le(a: MP, b: MP):
 
 
 def where(cond, a: MP, b: MP) -> MP:
+    if _is_wide(a) or _is_wide(b):
+        return _wide().where(cond, a, b)
     _check_modes(a, b)
     shape = jnp.broadcast_shapes(a.shape, b.shape, jnp.shape(cond))
     c = jnp.broadcast_to(cond, shape)
@@ -1113,6 +1400,8 @@ def where(cond, a: MP, b: MP) -> MP:
 
 
 def abs_(a: MP) -> MP:
+    if _is_wide(a):
+        return _wide().abs_(a)
     s = sign_array(a)
     return MP(a.limbs * jnp.where(s < 0, -1.0, 1.0).astype(a.dtype), a.exp)
 
@@ -1156,6 +1445,8 @@ def max_abs(a: MP):
     norms, mirroring Block_Diagonal_Matrix::max_abs in the reference).
     Scaled mode saturates at finfo.max / flushes below the f32 floor —
     adequate for thresholds representable in the base dtype."""
+    if _is_wide(a):
+        return _wide().max_abs(a)
     m = jnp.abs(to_float_array(a))
     return jnp.max(m) if a.ndim else m
 

@@ -156,6 +156,8 @@ def pallas_matmul_viable(a: MP, b: MP) -> bool:
     (classic or scaled) that fit VMEM and are big enough to amortize the
     kernel dispatch (measured: ~5x faster at 96^3 x batch 11, but slower
     than fused XLA on toy-sized blocks)."""
+    if not (isinstance(a, MP) and isinstance(b, MP)):
+        return False  # wide (MPW) operands take the XLA composite path
     if jax.default_backend() == "cpu":
         return False
     if a.dtype != jnp.float32 or a.limbs.ndim != 4 or b.limbs.ndim != 4:
@@ -393,6 +395,8 @@ def _factor_vmem_words(K, n, m, n_mats):
 
 
 def pallas_cholesky_viable(A: MP) -> bool:
+    if not isinstance(A, MP):
+        return False  # wide (MPW) operands take the XLA composite path
     if jax.default_backend() == "cpu":
         return False
     if A.dtype != jnp.float32:
@@ -404,6 +408,8 @@ def pallas_cholesky_viable(A: MP) -> bool:
 
 
 def pallas_trsm_viable(T: MP, B: MP) -> bool:
+    if not (isinstance(T, MP) and isinstance(B, MP)):
+        return False  # wide (MPW) operands take the XLA composite path
     if jax.default_backend() == "cpu":
         return False
     if T.dtype != jnp.float32:

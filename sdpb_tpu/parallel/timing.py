@@ -145,3 +145,42 @@ def save_timings(ck_dir, record: dict) -> None:
     import os
 
     os.replace(tmp, ck / TIMINGS_FILE)
+
+
+def timing_run_broadcast(host_sdp, params, ck_dir, verbosity: int = 0,
+                         scaled_limbs: int = 0,
+                         timeout_s: int = 7200) -> dict:
+    """Multihost timing run: the COORDINATOR measures, every process
+    receives the identical record — the reference's root-decides pattern
+    (src/sdpb/main.cxx:50-91 measures and re-allocates; decisions broadcast
+    at run/run.cxx:125-126).  Wall-clock measurement on every process would
+    fork the SPMD program (each host times differently).
+
+    Distribution rides the coordination-service key-value store rather
+    than a collective: a Gloo collective would time out its ~30 s
+    rendezvous while the coordinator is still measuring (compiles take
+    minutes); the blocking KV get waits up to `timeout_s`."""
+    import jax
+
+    key = "sdpb_tpu/block_timings"
+    client = None
+    try:
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals
+        client = None
+
+    if jax.process_index() == 0:
+        record = timing_run(host_sdp, params, verbosity=verbosity,
+                            scaled_limbs=scaled_limbs)
+        if ck_dir is not None:
+            save_timings(ck_dir, record)
+        payload = json.dumps(record)
+        if client is not None:
+            client.key_value_set(key, payload)
+        return record
+    assert client is not None, (
+        "multihost timing run requires jax.distributed initialization")
+    payload = client.blocking_key_value_get(key, timeout_s * 1000)
+    return json.loads(payload)

@@ -115,6 +115,10 @@ def _state_from_block_arrays(sdp: DeviceSDP, y_limbs, block_arrays) -> SolverSta
     from ..io.solution import psd_real_indices
 
     def stage(out64: np.ndarray) -> MP:
+        if scaled and K > 9:
+            from ..ops.mpwide import f64_limbs_to_wide_parts, wide_parts_to_mp
+
+            return wide_parts_to_mp(f64_limbs_to_wide_parts(out64, K))
         if scaled:
             limbs, exp = _mp.f64_limbs_to_scaled_parts(out64, K)
             return MP(jnp.asarray(limbs), jnp.asarray(exp))

@@ -125,7 +125,11 @@ def run_solver(
             abs(mpmath.mpf(params.initial_matrix_scale_primal)),
             abs(mpmath.mpf(params.initial_matrix_scale_dual)), 2), 2))
     cond_limbs = -(-int(2 * log2_omega + 30) // p_bits)
-    factor_limbs = min(K, max(2, (K + 2) // 2, cond_limbs))
+    # wide (>216-bit) runs cap the factor at 9 base limbs: factorization
+    # loops stay on the base scaled representation (Pallas-eligible); the
+    # refinement matmuls recover the wide precision (ops.mpwide docstring)
+    factor_cap = 9 if (scaled and K > 9) else K
+    factor_limbs = min(factor_cap, max(2, (K + 2) // 2, cond_limbs))
 
     def make_cfg(kf: int) -> StepConfig:
         return StepConfig(
@@ -215,6 +219,8 @@ def run_solver(
         # state is still finite (its own stats were checked last round), so
         # bump the factor precision and retry the same state.
         def _finite(v):
+            if hasattr(v, "words"):
+                return all(np.all(np.isfinite(w.limbs)) for w in v.words)
             arr = v.limbs if hasattr(v, "limbs") else v
             return np.all(np.isfinite(arr))
 
@@ -229,7 +235,7 @@ def run_solver(
         if finite and float(stats_host.beta_corrector) > 1e4:
             finite = False
         if not finite:
-            if factor_limbs >= K:
+            if factor_limbs >= factor_cap:
                 reason = TerminateReason.MaxComplementarityExceeded
                 if verbosity >= 1:
                     print_fn("non-finite iteration at full factor precision; "

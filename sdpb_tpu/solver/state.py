@@ -81,18 +81,42 @@ def initial_state(sdp: DeviceSDP, omega_primal, omega_dual) -> SolverState:
 
         def psd_init(psd_mask, omega):
             n = psd_mask.shape[1]
-            if scaled:
+            wide = scaled and isinstance(omega, list)
+            if scaled and not wide:
                 omega_limbs, omega_exp = omega
-            else:
+            elif not scaled:
                 omega_limbs = omega
-            limbs = jnp.zeros((K, B, n, n), dtype=dtype)
             if n == 0:
-                return MP(limbs, jnp.full((B, n, n), mp.EXP_ZERO, jnp.int32)
-                          if scaled else None)
+                return mp.zeros((B, n, n), K, dtype, scaled=scaled)
             eye = jnp.eye(n, dtype=dtype)
             m = psd_mask.astype(dtype)  # [B, n]; diag mask
             diag_real = eye * m[:, None, :]
             diag_pad = eye * (1 - m)[:, None, :]
+            if wide:
+                # WIDE: word 0 carries Omega's top word plus the padded
+                # identity (1.0 on word 0's ladder); lower words carry
+                # Omega's remaining mantissa on the real diagonal only
+                from ..ops.mpwide import MPW
+
+                words = []
+                for g, (wl, we) in enumerate(omega):
+                    Kg = wl.shape[0]
+                    C = mp.center_for(Kg)
+                    wlimbs = jnp.zeros((Kg, B, n, n), dtype=dtype)
+                    top = diag_real * dtype.type(wl[0])
+                    if g == 0:
+                        top = top + diag_pad * dtype.type(2.0 ** C)
+                    wlimbs = wlimbs.at[0].set(top)
+                    for k in range(1, Kg):
+                        wlimbs = wlimbs.at[k].set(diag_real * dtype.type(wl[k]))
+                    wexp = jnp.where(diag_real > 0, jnp.int32(we),
+                                     jnp.where(diag_pad > 0,
+                                               jnp.int32(-C) if g == 0
+                                               else mp.EXP_ZERO,
+                                               mp.EXP_ZERO))
+                    words.append(MP(wlimbs, wexp))
+                return MPW(tuple(words))
+            limbs = jnp.zeros((K, B, n, n), dtype=dtype)
             if scaled:
                 # padded diag = 1.0 on the CENTER(K) ladder: top limb 2^C,
                 # exp -C; real diag = Omega's mantissa at Omega's exponent

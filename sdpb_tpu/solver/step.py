@@ -46,6 +46,13 @@ def _psum_mp(x: MP, axis) -> MP:
     adds, synchronize_Q.cxx:110-113)."""
     if not axis:
         return x
+    if hasattr(x, "words"):
+        # wide: the cross-device sum decomposes exactly word-by-word
+        # (sum_d sum_g w_g^d); one word-level renorm restores non-overlap
+        from ..ops import mpwide
+
+        return mpwide.renormalize(
+            mpwide.MPW(tuple(_psum_mp(w, axis) for w in x.words)))
     if x.scaled:
         e = jax.lax.pmax(x.exp, axis)
         x = mp.align_mantissa(x, e)
@@ -105,8 +112,13 @@ def _scalar_mp(x: float, K, dtype, scaled: bool = False) -> MP:
 
 
 def _host_mp(parts, dtype) -> MP:
-    """Device MP from host parts: a [K] limb array (classic) or a
-    (limbs [K], exp scalar) pair (scaled); see StepConfig."""
+    """Device MP from host parts: a [K] limb array (classic), a
+    (limbs [K], exp scalar) pair (scaled), or a list of such pairs
+    (wide); see StepConfig."""
+    if isinstance(parts, list):
+        from ..ops.mpwide import wide_parts_to_mp
+
+        return wide_parts_to_mp(parts, dtype)
     if isinstance(parts, tuple):
         limbs, exp = parts
         return MP(jnp.asarray(limbs, dtype=dtype),

@@ -117,23 +117,24 @@ def make_approx_fn(factor_limbs: int, n_refine: int):
                 rhs = mp.sub(linalg.matvec(dB, state.y), dc)
                 dx_rhss.append(_row_mask_mp(rhs, bk.row_mask))
                 xm = _row_mask_mp(bs.x, bk.row_mask)
-                t = linalg.matmul(dB.mT, MP(xm.limbs[..., None]))[..., 0]
+                t = linalg.matmul(dB.mT, linalg.col(xm))[..., 0]
                 dy_rhs = mp.sub(dy_rhs, mp.sum_(t, axis=0))
 
             # solve {{S,-B},{B^T,0}}
             us = []
-            t_sum = mp.zeros((sdp.dual_dim,), K, dtype)
+            t_sum = mp.zeros((sdp.dual_dim,), K, dtype,
+                             scaled=sdp.b.scaled)
             for i, bk in enumerate(sdp.buckets):
-                u = S_solvers[i].solve(MP(dx_rhss[i].limbs[..., None]), n_refine)
+                u = S_solvers[i].solve(linalg.col(dx_rhss[i]), n_refine)
                 us.append(u)
                 t_sum = mp.add(t_sum, mp.sum_(
                     linalg.matmul(bk.Bmat.mT, u)[..., 0], axis=0))
             dy = Q_solver.solve(
-                MP(mp.sub(dy_rhs, t_sum).limbs[..., None]), n_refine)[..., 0]
+                linalg.col(mp.sub(dy_rhs, t_sum)), n_refine)[..., 0]
             dxs = []
             for i, bk in enumerate(sdp.buckets):
                 dx = mp.add(us[i], linalg.matmul(
-                    SinvBs[i], MP(dy.limbs[..., None])))[..., 0]
+                    SinvBs[i], linalg.col(dy)))[..., 0]
                 dxs.append(_row_mask_mp(dx, bk.row_mask))
 
             # quadratic terms
@@ -165,6 +166,11 @@ def save_solver_state(path, frozen: FrozenSchur, factor_limbs: int) -> None:
     arrays = {"__factor_limbs": np.asarray(factor_limbs)}
 
     def put(name, a: MP):
+        if hasattr(a, "words"):     # wide: one plane per word (ops.mpwide)
+            for g, w in enumerate(a.words):
+                arrays[f"{name}.w{g}"] = np.asarray(w.limbs)
+                arrays[f"{name}.w{g}.exp"] = np.asarray(w.exp)
+            return
         arrays[name] = np.asarray(a.limbs)
         if a.scaled:
             arrays[name + ".exp"] = np.asarray(a.exp)
@@ -189,6 +195,16 @@ def load_solver_state(path) -> Optional[tuple]:
     data = np.load(path)
 
     def get(name):
+        if f"{name}.w0" in data.files:
+            from ..ops.mpwide import MPW
+
+            words = []
+            g = 0
+            while f"{name}.w{g}" in data.files:
+                words.append(MP(jnp.asarray(data[f"{name}.w{g}"]),
+                                jnp.asarray(data[f"{name}.w{g}.exp"])))
+                g += 1
+            return MPW(tuple(words))
         limbs = jnp.asarray(data[name])
         e = name + ".exp"
         exp = jnp.asarray(data[e]) if e in data.files else None
@@ -204,9 +220,32 @@ def load_solver_state(path) -> Optional[tuple]:
     return frozen, int(data["__factor_limbs"])
 
 
-def sdp_delta_buckets(sdp_dev: DeviceSDP, host_old, host_new, K, np_dtype):
+def stage_host_mp(arr, scaled_limbs: int = 0, dtype=None):
+    """Host limb stack -> device MP in the requested representation
+    (classic when scaled_limbs == 0; scaled/wide exponent-tracked f32
+    otherwise — the TPU numerics, models.sdp._stage analog)."""
+    import jax.numpy as _jnp
+
+    from ..ops import mpfloat as _mp
+
+    if not scaled_limbs:
+        return MP(jnp.asarray(arr, dtype=dtype) if dtype is not None
+                  else jnp.asarray(arr))
+    if scaled_limbs > 9:
+        from ..ops.mpwide import f64_limbs_to_wide_parts, wide_parts_to_mp
+
+        return wide_parts_to_mp(f64_limbs_to_wide_parts(arr, scaled_limbs))
+    limbs, exp = _mp.f64_limbs_to_scaled_parts(np.asarray(arr, np.float64),
+                                               scaled_limbs)
+    return MP(_jnp.asarray(limbs), _jnp.asarray(exp))
+
+
+def sdp_delta_buckets(sdp_dev: DeviceSDP, host_old, host_new, K, np_dtype,
+                      scaled_limbs: int = 0):
     """d_c/d_B bucketed like sdp_dev (the Axpy(-1, old, new) analog,
-    approx_objective/Axpy.cxx).  Requires identical block structure."""
+    approx_objective/Axpy.cxx).  Requires identical block structure.
+    scaled_limbs > 0 stages to the scaled/wide TPU representation (host
+    limbs must then be float64, as in models.sdp.build_device_sdp)."""
     old_by_index = {b.index: b for b in host_old.blocks}
     new_by_index = {b.index: b for b in host_new.blocks}
     d_cs, d_Bs = [], []
@@ -230,6 +269,6 @@ def sdp_delta_buckets(sdp_dev: DeviceSDP, host_old, host_new, K, np_dtype):
             dc[:, i].reshape(K, n_pairs, sh.num_points)[:, :, :rs.num_points] = dc_r
             dB_r = (nb.B - ob.B).reshape(K, n_pairs, rs.num_points, N)
             dB[:, i].reshape(K, n_pairs, sh.num_points, N)[:, :, :rs.num_points] = dB_r
-        d_cs.append(MP(jnp.asarray(dc)))
-        d_Bs.append(MP(jnp.asarray(dB)))
+        d_cs.append(stage_host_mp(dc, scaled_limbs))
+        d_Bs.append(stage_host_mp(dB, scaled_limbs))
     return d_cs, d_Bs

@@ -59,11 +59,18 @@ def strs_to_limbs(strings, K: int, np_dtype) -> np.ndarray:
 
 def str_to_scaled_limbs(s: str, K: int):
     """Parse one decimal string -> (float32 limbs [K], int32 exp scalar) in
-    the scaled (exponent-tracked) representation used on TPU."""
-    from ..ops.mpfloat import f64_limbs_to_scaled_parts
-
+    the scaled (exponent-tracked) representation used on TPU.  K > 9 uses
+    the WIDE representation (ops.mpwide): returns a LIST of per-word
+    (limbs, exp) parts."""
     K64 = -(-(24 * K) // 53) + 1
     l64 = str_to_limbs(s, K64, np.float64)
+    if K > 9:
+        from ..ops.mpwide import f64_limbs_to_wide_parts
+
+        parts = f64_limbs_to_wide_parts(l64.reshape(K64, 1), K)
+        return [(l[:, 0], e[0]) for l, e in parts]
+    from ..ops.mpfloat import f64_limbs_to_scaled_parts
+
     limbs, exp = f64_limbs_to_scaled_parts(l64.reshape(K64, 1), K)
     return limbs[:, 0], exp[0]
 
@@ -79,7 +86,15 @@ def scaled_limbs_to_mpf(limbs, exp) -> mpmath.mpf:
 
 
 def mp_host_to_mpf(mp_host) -> mpmath.mpf:
-    """mpmath value of a host (numpy-leaved) scalar MP in either mode."""
+    """mpmath value of a host (numpy-leaved) scalar MP in any mode
+    (classic, scaled, or wide)."""
+    if hasattr(mp_host, "words"):
+        prec = 30 * sum(w.K for w in mp_host.words) + 64
+        with mpmath.workprec(prec):
+            acc = mpmath.mpf(0)
+            for w in mp_host.words:
+                acc = acc + scaled_limbs_to_mpf(w.limbs, w.exp)
+            return acc
     if getattr(mp_host, "exp", None) is not None:
         return scaled_limbs_to_mpf(mp_host.limbs, mp_host.exp)
     return limbs_to_mpf(mp_host.limbs)

@@ -77,6 +77,27 @@ res_g = run_solver(sdp_g, params_g, verbosity=0, mesh=mesh,
 assert np.isfinite(float(res_g.duality_gap)), res_g.duality_gap
 if pid == 0:
     print("GSPMD_OK", flush=True)
+
+# multihost timing run: the coordinator measures, every process receives
+# the identical record via broadcast (the reference's root-decides pattern,
+# main.cxx:50-91 + run.cxx:125-126) and derives the same bucketing policy
+import json
+from sdpb_tpu.models.synthetic import random_sdp
+from sdpb_tpu.parallel.timing import load_timings, timing_run_broadcast
+
+ck_dir = sys.argv[3]
+host_t = random_sdp(num_blocks=4, dim=1, num_points=4, dual_dim=3, K=K,
+                    np_dtype=np.float64)
+rec = timing_run_broadcast(host_t, params_g, ck_dir if pid == 0 else None,
+                           verbosity=0)
+assert rec["chosen"]["policy"] in ("quantized", "exact"), rec["chosen"]
+if pid != 0:
+    # the non-coordinator's broadcast record must equal what the
+    # coordinator persisted (same policy everywhere, no SPMD fork)
+    saved = load_timings(ck_dir)
+    assert saved is not None and saved["chosen"] == rec["chosen"], (
+        saved, rec["chosen"])
+print(f"TIMING_POLICY {json.dumps(rec['chosen'], sort_keys=True)}", flush=True)
 """
 
 
@@ -90,8 +111,10 @@ def test_two_process_solve_matches_oracle(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    ck_dir = str(tmp_path / "timings_ck")
     procs = [
-        subprocess.Popen([sys.executable, "-c", WORKER, str(i), str(port)],
+        subprocess.Popen([sys.executable, "-c", WORKER, str(i), str(port),
+                          ck_dir],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True,
                          cwd="/root/repo")
@@ -112,6 +135,14 @@ def test_two_process_solve_matches_oracle(tmp_path):
     assert obj_line, outs[0][1]
     assert any(l.startswith("GSPMD_OK") for l in outs[0][1].splitlines()), \
         outs[0][1]
+    # every process must report the SAME measured bucketing policy (the
+    # coordinator-measures-then-broadcast contract)
+    policies = []
+    for rc, out, err in outs:
+        lines = [l for l in out.splitlines() if l.startswith("TIMING_POLICY")]
+        assert lines, out
+        policies.append(lines[0])
+    assert policies[0] == policies[1], policies
     got = obj_line[0].split(None, 1)[1]
     import mpmath
 

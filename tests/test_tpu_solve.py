@@ -94,6 +94,63 @@ print("OK", mpmath.nstr(err, 3))
 """
 
 
+WIDE_SCRIPT = r"""
+import os, jax
+if jax.default_backend() == "cpu":
+    print("NO_TPU"); raise SystemExit(0)
+cache = os.path.expanduser("~/.cache/sdpb_tpu/xla")
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import numpy as np, mpmath
+from sdpb_tpu.io.sdp_zip import read_sdp
+from sdpb_tpu.models.sdp import build_device_sdp
+from sdpb_tpu.solver.params import SolverParameters
+from sdpb_tpu.solver.solve import TerminateReason, run_solver
+
+K32 = 18  # WIDE: 2 words x 9 limbs = 432 bits (ops.mpwide)
+K64 = -(-(24*K32)//53) + 1
+host = read_sdp("/root/reference/test/data/sdp.zip", K64, np.float64)
+sdp = build_device_sdp(host, scaled_limbs=K32)
+params = SolverParameters(
+    precision=432, duality_gap_threshold="1e-30",
+    primal_error_threshold="1e-30", dual_error_threshold="1e-30",
+    initial_matrix_scale_primal="1e20", initial_matrix_scale_dual="1e20",
+    max_iterations=300)
+res = run_solver(sdp, params, verbosity=1, use_compile_cache=True)
+assert res.terminate_reason == TerminateReason.PrimalDualOptimal, (
+    str(res.terminate_reason), res.iterations)
+with mpmath.workprec(600):
+    oracle = mpmath.mpf("1.84026576313204924668804017173055")
+    err = abs(res.primal_objective - oracle)
+    assert err < mpmath.mpf("1e-29"), mpmath.nstr(res.primal_objective, 34)
+    assert res.duality_gap < mpmath.mpf("1e-30"), mpmath.nstr(res.duality_gap, 3)
+print("OK", mpmath.nstr(err, 3), "gap", mpmath.nstr(res.duality_gap, 3),
+      "iters", res.iterations)
+"""
+
+
+@pytest.mark.slow
+def test_toy_wide_432bit_gap_1e30_on_tpu():
+    """The reference's DEFAULT precision contract on the chip: >= 400 bits
+    (WIDE representation, 2x216-bit words) to duality gap <= 1e-30 from
+    Omega=1e20, matching the 1024-bit oracle
+    (/root/reference/test/data/sdpb/test_out_orig/out.txt:1-4) to 29+
+    digits; defaults at Solver_Parameters.cxx:18,51-55.  Compile is long
+    cold (wide graphs; cached afterwards)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run([sys.executable, "-c", WIDE_SCRIPT], env=env,
+                            capture_output=True, text=True, timeout=9000)
+    out = result.stdout.strip().splitlines()
+    if result.returncode == 0 and out and out[-1] == "NO_TPU":
+        pytest.skip("no TPU backend available")
+    assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
+    assert out and out[-1].startswith("OK"), result.stdout + result.stderr
+
+
 @pytest.mark.slow
 def test_toy_deep_gap_on_tpu_scaled_limbs():
     """Omega=1e20 -> gap 1e-25 on the real chip: the round-1 capability gap
