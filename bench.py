@@ -101,19 +101,23 @@ def part_fixture(platform: str, budget_s: float):
         primal_error_threshold=gap, dual_error_threshold=gap,
         initial_matrix_scale_primal=omega, initial_matrix_scale_dual=omega)
 
-    # milestone 1: compile (disk-cached executable when warm) + 6
-    # iterations, then 6 compile-free iterations for the steady-state rate
-    p6 = SolverParameters(**base, max_iterations=6)
+    # milestone 1: ONE run capped at 31 iterations = two 16-iteration
+    # chunks of the device-resident run loop (solver/solve.py
+    # _solve_chunked).  run_solver records per-iteration wall seconds
+    # (chunk time / iterations executed); the steady-state rate is the
+    # median of the second chunk, and "compile" = everything outside the
+    # iteration loop (executable-cache load when warm, full remote compile
+    # when cold).  max_iterations is a dynamic arg of the chunked
+    # executable, so milestone 2 reuses it via the in-process memo.
+    p31 = SolverParameters(**base, max_iterations=31)
     t0 = time.time()
-    run_solver(sdp, p6, verbosity=0, use_compile_cache=True)
-    compile_and_6 = time.time() - t0
-    t0 = time.time()
-    r_warm = run_solver(sdp, p6, verbosity=0, use_compile_cache=True)
-    warm_6 = time.time() - t0
-    its = max(r_warm.iterations, 1)
-    s_it = warm_6 / its
+    r_warm = run_solver(sdp, p31, verbosity=0, use_compile_cache=True)
+    total_31 = time.time() - t0
+    ts = r_warm.iteration_seconds
+    tail = sorted(ts[len(ts) // 2:]) or ts
+    s_it = tail[len(tail) // 2]
     _emit({"milestone": "it_per_s", "it_per_s": round(1.0 / s_it, 3),
-           "compile_s": round(compile_and_6 - warm_6, 1),
+           "compile_s": round(total_31 - sum(ts), 1),
            "precision_bits": bits, "platform": platform})
 
     # milestone 2: full solve, only if the estimate fits what remains

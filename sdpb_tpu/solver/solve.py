@@ -22,7 +22,9 @@ from ..utils.strings import (limbs_to_mpf, mp_host_to_mpf, str_to_limbs,
 from ..utils.timers import Timers
 from .params import SolverParameters
 from .state import SolverState, initial_state
-from .step import StepConfig, make_iteration
+from .step import (REASON_MAX_COMPLEMENTARITY, REASON_MAX_ITER, REASON_NONE,
+                   REASON_RETRY, ChunkCarry, StepConfig,
+                   make_chunked_iteration, make_iteration)
 
 
 class TerminateReason(enum.Enum):
@@ -53,6 +55,10 @@ class SolveResult:
     dual_error: float
     iterations: int
     runtime: float
+    # wall seconds of each iteration(sdp, state) call incl. the host sync
+    # (the bench derives steady-state iterations/s from the tail of this
+    # without needing a second compile-free run)
+    iteration_seconds: list = None
 
     @property
     def primal_error(self) -> float:
@@ -78,6 +84,7 @@ def run_solver(
     mesh_mode: str = "shard_map",
     big_bytes: int = 1 << 30,
     use_compile_cache: bool = False,
+    chunk_iterations: int = 0,
 ) -> SolveResult:
     K = sdp.b.K
     dtype = sdp.b.dtype
@@ -143,6 +150,14 @@ def run_solver(
             primal_error_threshold=float(mpmath.mpf(params.primal_error_threshold)),
             dual_error_threshold=float(mpmath.mpf(params.dual_error_threshold)),
             max_complementarity=float(mpmath.mpf(params.max_complementarity)),
+            # device-side termination inputs (make_chunked_iteration)
+            duality_gap_threshold_limbs=parse(params.duality_gap_threshold),
+            find_primal_feasible=params.find_primal_feasible,
+            find_dual_feasible=params.find_dual_feasible,
+            detect_primal_feasible_jump=params.detect_primal_feasible_jump,
+            detect_dual_feasible_jump=params.detect_dual_feasible_jump,
+            min_primal_step=float(mpmath.mpf(params.min_primal_step)),
+            min_dual_step=float(mpmath.mpf(params.min_dual_step)),
         )
 
     def build_iteration(cfg: StepConfig):
@@ -161,10 +176,20 @@ def run_solver(
             # on-disk executable cache: remote (axon) TPU compiles are not
             # covered by the jax persistent cache, so fresh processes would
             # re-pay the full server-side compile every run
-            from ..ops.compile_cache import cached_compile
+            from ..ops.compile_cache import cached_compile, config_key
 
-            return cached_compile(fn, sdp, state, verbose=verbosity >= 2)
+            return cached_compile(fn, sdp, state, verbose=verbosity >= 2,
+                                  key_extra=config_key(cfg))
         return fn
+
+    if mesh is None and chunk_iterations != 1:
+        # device-resident chunked driver: up to `chunk` iterations per
+        # dispatch with on-device termination — one host sync per chunk
+        # instead of per iteration (see step.make_chunked_iteration)
+        return _solve_chunked(
+            sdp, params, state, make_cfg, factor_limbs, factor_cap,
+            chunk_iterations if chunk_iterations > 0 else 16,
+            verbosity, checkpoint_fn, timers, print_fn, use_compile_cache)
 
     cfg = make_cfg(factor_limbs)
     with timers.scope("run.initialize"):
@@ -186,6 +211,7 @@ def run_solver(
     _nan = mpmath.mpf("nan")
     p_obj = d_obj = gap = _nan
     perr_P = perr_p = derr = float("nan")
+    iteration_seconds = []
 
     if verbosity >= 1:
         print_fn("\n          time    mu     P-obj       D-obj      gap     "
@@ -200,8 +226,12 @@ def run_solver(
         with timers.scope("run.iteration"):
             t_it = time.time()
             stats, new_state = iteration(sdp, state)
-            stats_host = jax.tree.map(np.asarray, stats)
+            # device_get overlaps all leaf transfers (copy_to_host_async
+            # first, then gather) — one tunnel round trip instead of ~20
+            # sequential ones on remote (axon) devices
+            stats_host = jax.device_get(stats)
             t_it = time.time() - t_it
+            iteration_seconds.append(t_it)
         if verbosity >= 2:
             # debug observability (the reference's -v2 timer tree +
             # /proc/self/statm dumps, src/Timers.hxx:73-172)
@@ -319,4 +349,187 @@ def run_solver(
         dual_error=derr,
         iterations=it,
         runtime=time.time() - start,
+        iteration_seconds=iteration_seconds,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-resident chunked run loop (single-process path)
+
+_REASON_MAP = {
+    1: TerminateReason.PrimalDualOptimal,
+    2: TerminateReason.DualFeasible,
+    3: TerminateReason.PrimalFeasible,
+    4: TerminateReason.DualFeasibleJumpDetected,
+    5: TerminateReason.PrimalFeasibleJumpDetected,
+    6: TerminateReason.MaxIterationsExceeded,
+    8: TerminateReason.PrimalStepTooSmall,
+    9: TerminateReason.DualStepTooSmall,
+    10: TerminateReason.MaxComplementarityExceeded,
+}
+
+
+def _stats_row(stats_seq_host, i: int):
+    """Row i of scan-stacked host stats (every leaf gained a leading chunk
+    axis)."""
+    return jax.tree.map(lambda a: a[i], stats_seq_host)
+
+
+def _print_iteration_line(print_fn, it: int, elapsed: float, st) -> None:
+    """One iteration line in the reference table format
+    (run/print_iteration.cxx:16-56)."""
+    mu = mp_host_to_mpf(st.mu)
+    p_obj = mp_host_to_mpf(st.primal_objective)
+    d_obj = mp_host_to_mpf(st.dual_objective)
+    gap = mp_host_to_mpf(st.duality_gap)
+    print_fn(
+        f"{it:<4d} {int(elapsed):>8d} "
+        f"{mpmath.nstr(mu, 2, min_fixed=1, max_fixed=0):<8s} "
+        f"{float(p_obj):+.3e} {float(d_obj):+.3e} {float(gap):.3e} "
+        f"{float(st.primal_error_P):+.3e} {float(st.primal_error_p):+.3e} "
+        f"{float(st.dual_error):+.3e} "
+        f"{min(float(st.primal_step), 1.0):.3g}    "
+        f"{min(float(st.dual_step), 1.0):.3g}    "
+        f"{float(st.beta_corrector):.3g}"
+    )
+
+
+def _solve_chunked(sdp, params, state, make_cfg, factor_limbs, factor_cap,
+                   chunk, verbosity, checkpoint_fn, timers, print_fn,
+                   use_compile_cache) -> SolveResult:
+    """Chunked driver: up to `chunk` device iterations per dispatch, one
+    host sync per chunk.  Termination (all 10 ordered reasons of
+    compute_feasible_and_termination.cxx) is decided on device; the host
+    handles what needs a clock or a recompile — maxRuntime (checked at
+    chunk boundaries), checkpoint cadence, and the self-healing
+    factor-precision bump on non-finite iterations."""
+    import jax.numpy as jnp
+
+    def build(cfg: StepConfig):
+        fn = jax.jit(make_chunked_iteration(cfg, chunk))
+        if use_compile_cache:
+            from ..ops.compile_cache import cached_compile, config_key
+
+            return cached_compile(
+                fn, sdp, state, carry0, jnp.int32(0),
+                verbose=verbosity >= 2,
+                key_extra=config_key(cfg) + f";chunk={chunk}")
+        return fn
+
+    carry0 = ChunkCarry(
+        it=jnp.int32(1),
+        prev_p_step=jnp.zeros((), _np_dtype(sdp.b.dtype)),
+        prev_d_step=jnp.zeros((), _np_dtype(sdp.b.dtype)),
+        done=jnp.zeros((), jnp.bool_),
+        reason=jnp.int32(REASON_NONE),
+    )
+
+    cfg = make_cfg(factor_limbs)
+    with timers.scope("run.initialize"):
+        chunk_fn = build(cfg)
+
+    start = time.time()
+    last_checkpoint = start
+    iteration_seconds = []
+    reason = TerminateReason.MaxIterationsExceeded
+    _nan = mpmath.mpf("nan")
+    p_obj = d_obj = gap = _nan
+    perr_P = perr_p = derr = float("nan")
+    final_row = None
+    it_global = 1
+    carry = carry0
+    max_it = jnp.int32(params.max_iterations)
+
+    if verbosity >= 1:
+        print_fn("\n          time    mu     P-obj       D-obj      gap     "
+                 "    P-err       p-err       D-err      P-step   D-step  beta")
+
+    while True:
+        if checkpoint_fn is not None and (
+                time.time() - last_checkpoint) >= params.checkpoint_interval:
+            checkpoint_fn(state, it_global)
+            last_checkpoint = time.time()
+
+        with timers.scope("run.chunk"):
+            t0 = time.time()
+            state2, carry2, stats_seq, executed = chunk_fn(
+                sdp, state, carry, max_it)
+            carry_h, stats_h, exec_h = jax.device_get(
+                (carry2, stats_seq, executed))
+            dt = time.time() - t0
+
+        n_exec = int(np.sum(exec_h))
+        iteration_seconds.extend([dt / max(n_exec, 1)] * n_exec)
+        if verbosity >= 2:
+            print_fn(f"  -- chunk: {n_exec} iterations in {dt:.3f} s "
+                     f"device+sync ({dt / max(n_exec, 1):.4f} s/it)")
+        reason_code = int(carry_h.reason)
+        stopped = reason_code != REASON_NONE
+        n_advanced = n_exec - (1 if stopped else 0)
+
+        elapsed = time.time() - start
+        for i in range(n_advanced):
+            row = _stats_row(stats_h, i)
+            if verbosity >= 1:
+                _print_iteration_line(print_fn, it_global + i, elapsed, row)
+            final_row = row
+        it_global = int(carry_h.it)
+
+        if stopped:
+            if reason_code == REASON_RETRY:
+                if factor_limbs >= factor_cap:
+                    reason = TerminateReason.MaxComplementarityExceeded
+                    if verbosity >= 1:
+                        print_fn("non-finite iteration at full factor "
+                                 "precision; increase --precision")
+                    state = state2
+                    break
+                factor_limbs += 1
+                if verbosity >= 1:
+                    print_fn(f"conditioning exceeded factor range; increasing "
+                             f"factor precision to {factor_limbs} limbs")
+                cfg = make_cfg(factor_limbs)
+                with timers.scope("run.initialize"):
+                    chunk_fn = build(cfg)
+                state = state2                      # retry point (input state
+                carry = ChunkCarry(                 # of the failed iteration)
+                    it=carry_h.it, prev_p_step=carry_h.prev_p_step,
+                    prev_d_step=carry_h.prev_d_step,
+                    done=jnp.zeros((), jnp.bool_),
+                    reason=jnp.int32(REASON_NONE))
+                continue
+            # normal termination: the stopping row's stats describe the
+            # kept (input) state — same as the legacy loop's break-before-
+            # update semantics
+            final_row = _stats_row(stats_h, n_exec - 1)
+            reason = _REASON_MAP[reason_code]
+            state = state2
+            break
+
+        state = state2
+        carry = carry2
+        if (time.time() - start) >= params.max_runtime:
+            reason = TerminateReason.MaxRuntimeExceeded
+            break
+
+    if final_row is not None:
+        p_obj = mp_host_to_mpf(final_row.primal_objective)
+        d_obj = mp_host_to_mpf(final_row.dual_objective)
+        gap = mp_host_to_mpf(final_row.duality_gap)
+        perr_P = float(final_row.primal_error_P)
+        perr_p = float(final_row.primal_error_p)
+        derr = float(final_row.dual_error)
+
+    return SolveResult(
+        terminate_reason=reason,
+        state=state,
+        primal_objective=p_obj,
+        dual_objective=d_obj,
+        duality_gap=gap,
+        primal_error_P=perr_P,
+        primal_error_p=perr_p,
+        dual_error=derr,
+        iterations=it_global,
+        runtime=time.time() - start,
+        iteration_seconds=iteration_seconds,
     )

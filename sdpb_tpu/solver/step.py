@@ -337,6 +337,18 @@ class StepConfig:
     # low-precision solves (only sensible when K == factor_limbs).
     factor_limbs: int = 2
     n_refine: int = 0
+    # Device-side termination (make_chunked_iteration): MP limb parts of
+    # the duality-gap threshold plus the flag/step-floor parameters of
+    # compute_feasible_and_termination.cxx:20-65.  duality_gap_threshold_
+    # limbs=None means the chunked driver is not in use (legacy host loop
+    # decides termination).
+    duality_gap_threshold_limbs: object = None
+    find_primal_feasible: bool = False
+    find_dual_feasible: bool = False
+    detect_primal_feasible_jump: bool = False
+    detect_dual_feasible_jump: bool = False
+    min_primal_step: float = 0.0
+    min_dual_step: float = 0.0
 
 
 def make_iteration(cfg: StepConfig):
@@ -647,3 +659,149 @@ def make_iteration(cfg: StepConfig):
         return stats, new_state
 
     return iteration
+
+
+# ---------------------------------------------------------------------------
+# Device-resident chunked driver
+#
+# The reference's run loop (run/run.cxx:113-183) syncs every iteration:
+# compute -> check termination on the root -> broadcast -> next.  On MPI
+# that costs microseconds; on a remote TPU every host sync is a tunnel
+# round trip that dwarfs the sub-millisecond device iteration.  The
+# TPU-native driver therefore runs UP TO `chunk` iterations inside one
+# executable -- a lax.scan whose body is the full IPM iteration plus the
+# ordered termination logic of compute_feasible_and_termination.cxx:20-65
+# computed on device -- and the host syncs once per chunk, reading back the
+# stacked per-iteration stats for printing/bookkeeping.
+#
+# Stop semantics match the host loop exactly: whatever stops the run
+# (termination, max-complementarity, or a non-finite iteration needing a
+# factor-precision bump), the carried state freezes at the INPUT state of
+# the stopping iteration -- the reference also keeps the pre-step state as
+# the solution (stats describe the input state, see make_iteration).
+# Frozen tail steps of the scan still execute arithmetic on the frozen
+# state; their outputs are masked out (`executed`), costing only
+# sub-millisecond device time.
+
+REASON_NONE = 0
+REASON_PD_OPTIMAL = 1
+REASON_DUAL_FEASIBLE = 2
+REASON_PRIMAL_FEASIBLE = 3
+REASON_DUAL_JUMP = 4
+REASON_PRIMAL_JUMP = 5
+REASON_MAX_ITER = 6
+REASON_PRIMAL_STEP_SMALL = 8
+REASON_DUAL_STEP_SMALL = 9
+REASON_MAX_COMPLEMENTARITY = 10
+REASON_RETRY = 11       # non-finite stats / exploding corrector beta: the
+                        # host bumps factor_limbs and retries the state
+
+
+class ChunkCarry(NamedTuple):
+    it: jnp.ndarray           # int32, 1-based global index of next iteration
+    prev_p_step: jnp.ndarray  # base float, previous iteration's step lengths
+    prev_d_step: jnp.ndarray
+    done: jnp.ndarray         # bool
+    reason: jnp.ndarray       # int32 REASON_* code
+
+
+def _stats_finite(stats: IterationStats):
+    """All-finite check over the solve-critical stats (the host loop's
+    self-heal trigger), plus the saturating-f32 beta explosion guard."""
+    fields = (stats.primal_objective, stats.dual_objective,
+              stats.duality_gap, stats.mu, stats.primal_error_P,
+              stats.primal_error_p, stats.dual_error, stats.primal_step,
+              stats.dual_step)
+    ok = None
+    for leaf in jax.tree.leaves(fields):
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            continue
+        f = jnp.all(jnp.isfinite(leaf))
+        ok = f if ok is None else jnp.logical_and(ok, f)
+    return jnp.logical_and(ok, stats.beta_corrector <= 1e4)
+
+
+def make_chunked_iteration(cfg: StepConfig, chunk: int):
+    """(sdp, state, carry, max_iterations) ->
+           (new_state, carry', stats_seq, executed_seq)
+
+    Runs up to `chunk` IPM iterations device-side.  `stats_seq` leaves are
+    stacked along axis 0 (scan order); `executed_seq[i]` marks rows whose
+    iteration actually ran (the stopping iteration is executed but not
+    advanced -- exactly the legacy loop, which breaks before printing).
+    `max_iterations` is a traced int32 scalar so different limits share one
+    executable.  cfg.duality_gap_threshold_limbs must be set."""
+    assert cfg.duality_gap_threshold_limbs is not None
+    it_fn = make_iteration(cfg)
+
+    def chunked(sdp: DeviceSDP, state: SolverState, carry: ChunkCarry,
+                max_iterations):
+        dtype = sdp.b.dtype
+        gap_thr = _host_mp(cfg.duality_gap_threshold_limbs, dtype)
+
+        def body(c, _):
+            st, cy = c
+            stats, new_state = it_fn(sdp, st)
+
+            finite = _stats_finite(stats)
+            primal_err = jnp.maximum(stats.primal_error_P,
+                                     stats.primal_error_p)
+            is_pf = primal_err < cfg.primal_error_threshold
+            is_df = stats.dual_error < cfg.dual_error_threshold
+            is_opt = mp.lt(stats.duality_gap, gap_thr)
+            F = jnp.zeros((), jnp.bool_)
+
+            # ordered checks, first match wins (evaluated back to front)
+            checks = [
+                (jnp.logical_and(jnp.logical_and(is_pf, is_df), is_opt),
+                 REASON_PD_OPTIMAL),
+                (is_df if cfg.find_dual_feasible else F,
+                 REASON_DUAL_FEASIBLE),
+                (is_pf if cfg.find_primal_feasible else F,
+                 REASON_PRIMAL_FEASIBLE),
+                (cy.prev_d_step == 1.0 if cfg.detect_dual_feasible_jump
+                 else F, REASON_DUAL_JUMP),
+                (cy.prev_p_step == 1.0 if cfg.detect_primal_feasible_jump
+                 else F, REASON_PRIMAL_JUMP),
+                (cy.it > max_iterations, REASON_MAX_ITER),
+                (jnp.logical_and(cy.it > 1,
+                                 cy.prev_p_step < cfg.min_primal_step),
+                 REASON_PRIMAL_STEP_SMALL),
+                (jnp.logical_and(cy.it > 1,
+                                 cy.prev_d_step < cfg.min_dual_step),
+                 REASON_DUAL_STEP_SMALL),
+                # after the ordered chain (run loop checks it post-terminate)
+                (stats.max_complementarity_exceeded,
+                 REASON_MAX_COMPLEMENTARITY),
+            ]
+            reason_now = jnp.int32(REASON_NONE)
+            for cond, code in reversed(checks):
+                reason_now = jnp.where(cond, jnp.int32(code), reason_now)
+            # non-finite preempts everything (host checks finiteness first)
+            reason_now = jnp.where(finite, reason_now,
+                                   jnp.int32(REASON_RETRY))
+
+            active = jnp.logical_not(cy.done)
+            stop_now = jnp.logical_and(active, reason_now != REASON_NONE)
+            advance = jnp.logical_and(active, reason_now == REASON_NONE)
+
+            st2 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(advance, (1,) * new.ndim), new, old),
+                new_state, st)
+            cy2 = ChunkCarry(
+                it=cy.it + advance.astype(jnp.int32),
+                prev_p_step=jnp.where(advance, stats.primal_step,
+                                      cy.prev_p_step),
+                prev_d_step=jnp.where(advance, stats.dual_step,
+                                      cy.prev_d_step),
+                done=jnp.logical_or(cy.done, stop_now),
+                reason=jnp.where(stop_now, reason_now, cy.reason),
+            )
+            return (st2, cy2), (stats, active)
+
+        (state2, carry2), (stats_seq, executed_seq) = jax.lax.scan(
+            body, (state, carry), None, length=chunk)
+        return state2, carry2, stats_seq, executed_seq
+
+    return chunked
