@@ -454,25 +454,33 @@ def _solve_chunked(sdp, params, state, make_cfg, factor_limbs, factor_cap,
             t0 = time.time()
             state2, carry2, stats_seq, executed = chunk_fn(
                 sdp, state, carry, max_it)
-            carry_h, stats_h, exec_h = jax.device_get(
-                (carry2, stats_seq, executed))
+            # fetch ONLY the tiny carry each chunk; the stacked stats are
+            # pulled lazily (printing or stopping) — on remote devices the
+            # sync cost tracks the number of fetched leaves, and at
+            # verbosity 0 a cruising chunk needs none of them
+            carry_h = jax.device_get(carry2)
             dt = time.time() - t0
 
-        n_exec = int(np.sum(exec_h))
+        reason_code = int(carry_h.reason)
+        stopped = reason_code != REASON_NONE
+        n_advanced = int(carry_h.it) - it_global
+        n_exec = n_advanced + (1 if stopped else 0)
         iteration_seconds.extend([dt / max(n_exec, 1)] * n_exec)
         if verbosity >= 2:
             print_fn(f"  -- chunk: {n_exec} iterations in {dt:.3f} s "
                      f"device+sync ({dt / max(n_exec, 1):.4f} s/it)")
-        reason_code = int(carry_h.reason)
-        stopped = reason_code != REASON_NONE
-        n_advanced = n_exec - (1 if stopped else 0)
 
+        stats_h = None
+        if verbosity >= 1 or stopped:
+            stats_h = jax.device_get(stats_seq)
         elapsed = time.time() - start
-        for i in range(n_advanced):
-            row = _stats_row(stats_h, i)
-            if verbosity >= 1:
-                _print_iteration_line(print_fn, it_global + i, elapsed, row)
-            final_row = row
+        if stats_h is not None:
+            for i in range(n_advanced):
+                row = _stats_row(stats_h, i)
+                if verbosity >= 1:
+                    _print_iteration_line(print_fn, it_global + i, elapsed,
+                                          row)
+                final_row = row
         it_global = int(carry_h.it)
 
         if stopped:
@@ -510,6 +518,9 @@ def _solve_chunked(sdp, params, state, make_cfg, factor_limbs, factor_cap,
         carry = carry2
         if (time.time() - start) >= params.max_runtime:
             reason = TerminateReason.MaxRuntimeExceeded
+            if stats_h is None and n_exec > 0:     # verbosity-0 cruise:
+                stats_h = jax.device_get(stats_seq)  # fetch for the result
+                final_row = _stats_row(stats_h, n_exec - 1)
             break
 
     if final_row is not None:
