@@ -35,10 +35,16 @@ def cache_dir() -> Path:
 
 
 def _backend_key() -> str:
+    from . import mpfloat as _mp
+
     dev = jax.devices()[0]
     return (f"{jax.__version__}|{dev.platform}|"
             f"{getattr(dev, 'device_kind', '')}|"
-            f"x64={jax.config.jax_enable_x64}")
+            f"x64={jax.config.jax_enable_x64}|"
+            # program-shaping tunables (env-overridable) — same source can
+            # lower to different programs under different knob values
+            f"knobs={_mp._SCAN_MIN_K},{_mp._SCAN_MIN_K_SCALED},"
+            f"{_mp._SCAN_UNROLL},{_mp._VEC_MUL_MIN_K}")
 
 
 _SOURCE_HASH = None

@@ -131,7 +131,14 @@ def run_solver(
         log2_omega = float(mpmath.log(max(
             abs(mpmath.mpf(params.initial_matrix_scale_primal)),
             abs(mpmath.mpf(params.initial_matrix_scale_dual)), 2), 2))
-    cond_limbs = -(-int(2 * log2_omega + 30) // p_bits)
+        # the ENDGAME conditioning is declared up front too: near
+        # convergence cond(S) ~ 1/gap^2, so a run asked for gap 1e-10
+        # WILL need the corresponding factor range — sizing for it now
+        # avoids the self-heal recompiles mid-solve (measured: nmax6 at
+        # 120 bits heals 3->4->5 limbs around iteration 40 otherwise)
+        gap_thr = mpmath.mpf(params.duality_gap_threshold)
+        log2_gap_inv = float(-mpmath.log(gap_thr, 2)) if gap_thr > 0 else 0.0
+    cond_limbs = -(-int(2 * max(log2_omega, log2_gap_inv) + 30) // p_bits)
     # wide (>216-bit) runs cap the factor at 9 base limbs: factorization
     # loops stay on the base scaled representation (Pallas-eligible); the
     # refinement matmuls recover the wide precision (ops.mpwide docstring)

@@ -106,11 +106,11 @@ def vpu_peak_gflops(reps: int = 5, steps: int = 2048,
     x = jnp.ones(tile, jnp.float32)
     fn = jax.jit(lambda v: pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct(tile, jnp.float32))(v))
-    fn(x).block_until_ready()
+    jax.device_get(fn(x))                # forced fence (see _force)
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(x)
-    r.block_until_ready()
+    jax.device_get(r)
     dt = (time.perf_counter() - t0) / reps
     flops = 2.0 * steps * tile[0] * tile[1]
     return flops / dt / 1e9
@@ -120,15 +120,23 @@ def vpu_peak_gflops(reps: int = 5, steps: int = 2048,
 # Phase harness
 
 
-def _time_fn(fn, args, reps: int):
+def _force(out):
+    """Force completion of `out` (and, by serial device order, everything
+    enqueued before it).  jax.block_until_ready through the remote (axon)
+    runtime returns before server-side execution finishes — a device_get of
+    one leaf is the only reliable fence."""
     import jax
 
+    jax.device_get(jax.tree.leaves(out)[0])
+
+
+def _time_fn(fn, args, reps: int):
     out = fn(*args)                      # warm (compile via cache)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / reps, out
 
 
