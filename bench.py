@@ -90,7 +90,10 @@ def part_fixture(platform: str, budget_s: float):
         host = read_sdp(FIXTURE, K, np.float64)
         sdp = build_device_sdp(host, quant=32)
     else:
-        scaled, bits = 5, 120
+        # 144 bits: measured floor for this fixture at gap 1e-10 — the
+        # 120-bit (scaled=5) config diverges mid-solve around iteration 43
+        # (non-finite at full factor precision -> maxComplementarity)
+        scaled, bits = 6, 144
         gap, omega = "1e-10", "1e6"
         K64 = -(-(24 * scaled) // 53) + 1
         host = read_sdp(FIXTURE, K64, np.float64)
@@ -222,8 +225,9 @@ def _headline(state: dict) -> dict:
         rec = {"metric": "toy_time_to_solution[cpu]",
                "value": state["toy_tts_s"], "unit": "s",
                "vs_baseline": 0.0,
-               "caveat": "TPU platform unreachable this run; CPU toy solve "
-                         "only (no comparable reference anchor)"}
+               "caveat": "CPU toy solve (no comparable reference anchor); "
+                         "nmax6 fixture milestones did not land this run "
+                         "(TPU unreachable or compile cache cold)"}
     else:
         rec = {"metric": "bench_failed", "value": -1, "unit": "s",
                "vs_baseline": 0.0}
@@ -232,35 +236,57 @@ def _headline(state: dict) -> dict:
     return rec
 
 
-def _run_part(args, budget_s: float, state: dict):
-    """Run a worker subprocess, relaying each milestone into an upgraded
-    headline line the moment it appears."""
-    proc = subprocess.Popen(
+def _spawn(args, budget_s: float):
+    """Start a worker subprocess (never blocks the orchestrator)."""
+    return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)] + args
         + ["--budget", str(int(budget_s))],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         cwd=REPO)
-    deadline = time.time() + budget_s
-    try:
-        while True:
-            if time.time() > deadline:
-                proc.kill()
-                state["error"] = state.get("error", "") + \
-                    f"[{' '.join(args)}] budget exceeded; "
-                break
-            line = proc.stdout.readline()
-            if not line:
-                if proc.poll() is not None:
-                    break
-                time.sleep(0.2)
-                continue
+
+
+def _multiplex(workers, deadline: float, state: dict):
+    """Relay worker milestones into upgraded headline lines the moment they
+    appear.  NON-BLOCKING: a worker stuck in a cold compile that never
+    prints must not stall the orchestrator past its deadline (that is
+    exactly how round 2's bench produced nothing under the driver's
+    timeout — a blocking readline defeated every budget check)."""
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    live = {}
+    for name, proc in workers:
+        os.set_blocking(proc.stdout.fileno(), False)
+        sel.register(proc.stdout, selectors.EVENT_READ, (name, proc))
+        live[name] = proc
+    bufs = {name: "" for name, _ in workers}
+
+    while live and time.time() < deadline:
+        for key, _ in sel.select(timeout=1.0):
+            name, proc = key.data
             try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            state.update(rec)
-            _emit(_headline(state))
-    finally:
+                chunk = proc.stdout.read()
+            except (OSError, ValueError):
+                chunk = ""
+            if chunk:
+                bufs[name] += chunk
+                while "\n" in bufs[name]:
+                    line, bufs[name] = bufs[name].split("\n", 1)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    state.update(rec)
+                    _emit(_headline(state))
+        for name, proc in list(live.items()):
+            if proc.poll() is not None:
+                try:
+                    sel.unregister(proc.stdout)
+                except (KeyError, ValueError):
+                    pass
+                del live[name]
+    for name, proc in live.items():
+        state["error"] = state.get("error", "") + f"[{name}] timed out; "
         try:
             proc.kill()
         except OSError:
@@ -269,9 +295,15 @@ def _run_part(args, budget_s: float, state: dict):
 
 def main():
     if "--part" in sys.argv:
+        import signal
+
         part = sys.argv[sys.argv.index("--part") + 1]
         platform = sys.argv[sys.argv.index("--platform") + 1]
         budget = float(sys.argv[sys.argv.index("--budget") + 1])
+        # hard backstop: if the part wedges inside a device call the
+        # orchestrator's kill handles it, but make the worker self-limit
+        # too so an orphan can't squat on the chip
+        signal.alarm(int(budget) + 90)
         got = _setup(platform)
         if part == "fixture":
             part_fixture(got, budget)
@@ -279,21 +311,27 @@ def main():
             part_toy_cpu(budget)
         return
 
-    budget = float(os.environ.get("SDPB_BENCH_BUDGET_S", "540"))
+    budget = float(os.environ.get("SDPB_BENCH_BUDGET_S", "450"))
     deadline = time.time() + budget
     state = {}
     platform = _probe()
     state["platform"] = platform
+    # a complete (if empty-handed) headline FIRST: whatever happens later,
+    # the driver's last-JSON-line parse never comes up empty
+    _emit(_headline(state))
 
+    workers = []
     if platform != "cpu" and os.path.exists(FIXTURE):
-        _run_part(["--part", "fixture", "--platform", platform],
-                  deadline - time.time() - 25, state)
-    if "it_per_s" not in state and "tts_s" not in state:
-        # TPU missing or produced nothing: CPU toy fallback
-        remaining = deadline - time.time() - 10
-        if remaining > 60:
-            _run_part(["--part", "toy", "--platform", "cpu"],
-                      remaining, state)
+        workers.append(("fixture", _spawn(
+            ["--part", "fixture", "--platform", platform],
+            deadline - time.time() - 20)))
+    # CPU toy insurance runs CONCURRENTLY: the fixture worker spends its
+    # first minutes waiting on a (remote, server-side) TPU compile when the
+    # executable cache is cold, so the toy lands a real measurement early
+    workers.append(("toy", _spawn(
+        ["--part", "toy", "--platform", "cpu"],
+        deadline - time.time() - 20)))
+    _multiplex(workers, deadline - 10, state)
     _emit(_headline(state))
 
 
