@@ -5,7 +5,7 @@ DESIGN CONTRACT (hard-learned): the driver runs `python bench.py` under an
 external timeout and parses the LAST complete JSON line it sees.  So this
 script (a) prints a full headline record IMMEDIATELY after every finished
 measurement (flushed) and upgrades it as later parts land, (b) runs the
-cheapest honest measurement first, (c) budgets itself (default 540 s,
+cheapest honest measurement first, (c) budgets itself (default 520 s,
 SDPB_BENCH_BUDGET_S to override) and kills its own subprocess workers
 before the external timeout can, and (d) measures the PRODUCTION numerics
 (scaled exponent-tracked f32 limbs on TPU, classic f64 on CPU).
@@ -123,9 +123,13 @@ def part_fixture(platform: str, budget_s: float):
            "compile_s": round(total_31 - sum(ts), 1),
            "precision_bits": bits, "platform": platform})
 
-    # milestone 2: full solve, only if the estimate fits what remains
+    # milestone 2: full solve, only if the estimate fits what remains.
+    # The measured 144-bit solve takes 84 iterations to gap 1e-10 (probed
+    # on a real v5e); 100 covers it with slack.  The executable is shared
+    # with milestone 1 via the in-process memo (max_iterations is a
+    # dynamic arg of the chunked executable), so no second load/compile.
     remaining = budget_s - (time.time() - t_start)
-    est = (BASELINE_ITS + 60) * s_it + 10
+    est = 100 * s_it + 15
     if est > remaining:
         _emit({"milestone": "skip_tts",
                "why": f"estimated {est:.0f}s full solve > {remaining:.0f}s "
@@ -201,38 +205,48 @@ def _probe() -> str:
 
 
 def _headline(state: dict) -> dict:
-    """Best available headline from accumulated milestones."""
+    """Best available headline from accumulated milestones.  Milestones are
+    namespaced per worker (state['fixture'] / state['toy']) so a toy
+    milestone landing after a fixture one cannot contaminate the nmax6
+    headline (or vice versa)."""
     plat = state.get("platform", "?")
-    bits = state.get("precision_bits", "?")
+    fx = state.get("fixture", {})
+    toy = state.get("toy", {})
+    bits = fx.get("precision_bits", "?")
     caveat_prec = (
         f"reference anchor is 39 s / 6 MPI ranks / 768 bits / gap 9e-31; "
         f"this run solves the same SDP at {bits} bits to gap 1e-10 on one "
         f"device (precision contract not matched; more limbs available at "
         f"higher cost)")
-    if "tts_s" in state:
+    if "tts_s" in fx:
         rec = {"metric": f"nmax6_time_to_solution[{plat}]",
-               "value": state["tts_s"], "unit": "s",
-               "vs_baseline": round(BASELINE_S / state["tts_s"], 3),
+               "value": fx["tts_s"], "unit": "s",
+               "vs_baseline": round(BASELINE_S / fx["tts_s"], 3),
                "caveat": caveat_prec}
-    elif "it_per_s" in state:
+        rec.update({k: v for k, v in fx.items() if k not in rec})
+    elif "it_per_s" in fx:
         anchor = BASELINE_ITS / BASELINE_S  # ~2.9 it/s, 6 ranks, 768 bits
         rec = {"metric": f"nmax6_ipm_iterations_per_s[{plat}]",
-               "value": state["it_per_s"], "unit": "iterations/s",
-               "vs_baseline": round(state["it_per_s"] / anchor, 3),
+               "value": fx["it_per_s"], "unit": "iterations/s",
+               "vs_baseline": round(fx["it_per_s"] / anchor, 3),
                "caveat": caveat_prec + "; rate metric (full-solve milestone "
                                        "did not land this run)"}
-    elif "toy_tts_s" in state:
+        rec.update({k: v for k, v in fx.items() if k not in rec})
+    elif "toy_tts_s" in toy:
         rec = {"metric": "toy_time_to_solution[cpu]",
-               "value": state["toy_tts_s"], "unit": "s",
+               "value": toy["toy_tts_s"], "unit": "s",
                "vs_baseline": 0.0,
                "caveat": "CPU toy solve (no comparable reference anchor); "
                          "nmax6 fixture milestones did not land this run "
                          "(TPU unreachable or compile cache cold)"}
+        rec.update({k: v for k, v in toy.items() if k not in rec})
     else:
         rec = {"metric": "bench_failed", "value": -1, "unit": "s",
                "vs_baseline": 0.0}
-    rec.update({k: v for k, v in state.items()
-                if k not in ("milestone",)})
+    rec["platform"] = plat
+    if "error" in state:
+        rec["error"] = state["error"]
+    rec.pop("milestone", None)
     return rec
 
 
@@ -241,8 +255,7 @@ def _spawn(args, budget_s: float):
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)] + args
         + ["--budget", str(int(budget_s))],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        cwd=REPO)
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=REPO)
 
 
 def _multiplex(workers, deadline: float, state: dict):
@@ -259,33 +272,46 @@ def _multiplex(workers, deadline: float, state: dict):
         os.set_blocking(proc.stdout.fileno(), False)
         sel.register(proc.stdout, selectors.EVENT_READ, (name, proc))
         live[name] = proc
-    bufs = {name: "" for name, _ in workers}
+    bufs = {name: b"" for name, _ in workers}
+
+    def _drain(name, proc):
+        """Read whatever is available on the worker's pipe (binary,
+        non-blocking: a text-mode read() raises TypeError on empty) and
+        fold complete JSON lines into the worker's namespaced state."""
+        try:
+            chunk = proc.stdout.read()
+        except (OSError, ValueError, TypeError, BlockingIOError):
+            chunk = None
+        if not chunk:
+            return
+        bufs[name] += chunk
+        while b"\n" in bufs[name]:
+            line, bufs[name] = bufs[name].split(b"\n", 1)
+            try:
+                rec = json.loads(line.decode("utf-8", "replace"))
+            except json.JSONDecodeError:
+                continue
+            state.setdefault(name, {}).update(rec)
+            _emit(_headline(state))
 
     while live and time.time() < deadline:
         for key, _ in sel.select(timeout=1.0):
             name, proc = key.data
-            try:
-                chunk = proc.stdout.read()
-            except (OSError, ValueError):
-                chunk = ""
-            if chunk:
-                bufs[name] += chunk
-                while "\n" in bufs[name]:
-                    line, bufs[name] = bufs[name].split("\n", 1)
-                    try:
-                        rec = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    state.update(rec)
-                    _emit(_headline(state))
+            _drain(name, proc)
         for name, proc in list(live.items()):
             if proc.poll() is not None:
+                # final drain BEFORE unregistering: the worker's last
+                # milestone (e.g. the full-solve tts headline, written
+                # immediately before exit) can land between select() and
+                # the poll check — round 3 lost the toy result this way
+                _drain(name, proc)
                 try:
                     sel.unregister(proc.stdout)
                 except (KeyError, ValueError):
                     pass
                 del live[name]
     for name, proc in live.items():
+        _drain(name, proc)
         state["error"] = state.get("error", "") + f"[{name}] timed out; "
         try:
             proc.kill()
@@ -302,8 +328,9 @@ def main():
         budget = float(sys.argv[sys.argv.index("--budget") + 1])
         # hard backstop: if the part wedges inside a device call the
         # orchestrator's kill handles it, but make the worker self-limit
-        # too so an orphan can't squat on the chip
-        signal.alarm(int(budget) + 90)
+        # too so an orphan can't squat on the chip (clamped positive — a
+        # zero/negative alarm would silently DISABLE the backstop)
+        signal.alarm(max(60, int(budget) + 90))
         got = _setup(platform)
         if part == "fixture":
             part_fixture(got, budget)
@@ -311,7 +338,7 @@ def main():
             part_toy_cpu(budget)
         return
 
-    budget = float(os.environ.get("SDPB_BENCH_BUDGET_S", "450"))
+    budget = float(os.environ.get("SDPB_BENCH_BUDGET_S", "520"))
     deadline = time.time() + budget
     state = {}
     platform = _probe()

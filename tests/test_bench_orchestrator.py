@@ -1,0 +1,96 @@
+"""Regression tests for bench.py's worker multiplexer.
+
+Round 3's driver bench lost the CPU-toy result to an exit race: the
+orchestrator saw poll() != None and unregistered the worker WITHOUT a
+final pipe drain, dropping a milestone written immediately before exit.
+These tests drive _multiplex with real subprocesses reproducing that
+pattern (print-then-exit, hang-past-deadline, garbage interleaved with
+JSON) so the orchestrator's contract — every milestone printed by a
+finished worker lands in the state — is pinned.
+"""
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench
+
+
+def _worker(code: str) -> subprocess.Popen:
+    return subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL)
+
+
+def test_exit_race_final_milestone_lands():
+    """A worker that writes its milestone and exits instantly (the round-3
+    loss mode) must still have the milestone folded into state."""
+    code = ("import json,sys;"
+            "print(json.dumps({'milestone':'tts','tts_s':12.5}), flush=True)")
+    state = {"platform": "cpu"}
+    bench._multiplex([("fixture", _worker(code))],
+                     time.time() + 20, state)
+    assert state["fixture"]["tts_s"] == 12.5
+
+
+def test_hung_worker_killed_at_deadline_with_error():
+    code = ("import json,time;"
+            "print(json.dumps({'milestone':'it_per_s','it_per_s':2.0}),"
+            "flush=True); time.sleep(60)")
+    state = {"platform": "cpu"}
+    t0 = time.time()
+    bench._multiplex([("fixture", _worker(code))], time.time() + 3, state)
+    assert time.time() - t0 < 15
+    assert state["fixture"]["it_per_s"] == 2.0
+    assert "fixture" in state.get("error", "")
+
+
+def test_worker_namespacing_no_cross_contamination():
+    """Concurrent workers sharing key names (compile_s, iterations) must
+    not overwrite each other: the toy worker finishing LAST must not leak
+    its stats into the fixture headline."""
+    fx = ("import json;"
+          "print(json.dumps({'milestone':'tts','tts_s':50.0,"
+          "'compile_s':1.0,'iterations':84}), flush=True)")
+    toy = ("import json,time; time.sleep(1);"
+           "print(json.dumps({'milestone':'toy_tts','toy_tts_s':9.0,"
+           "'compile_s':99.0,'iterations':7}), flush=True)")
+    state = {"platform": "tpu"}
+    bench._multiplex([("fixture", _worker(fx)), ("toy", _worker(toy))],
+                     time.time() + 20, state)
+    rec = bench._headline(state)
+    assert rec["metric"].startswith("nmax6_time_to_solution")
+    assert rec["value"] == 50.0
+    assert rec["iterations"] == 84      # fixture's, not the toy's 7
+    assert rec["compile_s"] == 1.0      # fixture's, not the toy's 99
+
+
+def test_garbage_lines_skipped():
+    code = ("import json;"
+            "print('XLA WARNING: something', flush=True);"
+            "print(json.dumps({'milestone':'it_per_s','it_per_s':0.4}),"
+            "flush=True)")
+    state = {"platform": "tpu"}
+    bench._multiplex([("fixture", _worker(code))], time.time() + 20, state)
+    assert state["fixture"]["it_per_s"] == 0.4
+
+
+def test_headline_priority_and_fallback():
+    # nothing landed -> bench_failed
+    assert bench._headline({"platform": "?"})["metric"] == "bench_failed"
+    # toy only -> toy metric
+    rec = bench._headline({"platform": "cpu",
+                           "toy": {"toy_tts_s": 8.0, "iterations": 40}})
+    assert rec["metric"] == "toy_time_to_solution[cpu]"
+    assert rec["value"] == 8.0
+    # fixture it/s outranks toy; fixture tts outranks both
+    st = {"platform": "tpu", "toy": {"toy_tts_s": 8.0},
+          "fixture": {"it_per_s": 0.5, "precision_bits": 144}}
+    assert bench._headline(st)["metric"] == "nmax6_ipm_iterations_per_s[tpu]"
+    st["fixture"]["tts_s"] = 100.0
+    rec = bench._headline(st)
+    assert rec["metric"] == "nmax6_time_to_solution[tpu]"
+    assert rec["vs_baseline"] == pytest.approx(0.39)
