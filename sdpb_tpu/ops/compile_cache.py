@@ -41,9 +41,10 @@ def _backend_key() -> str:
     return (f"{jax.__version__}|{dev.platform}|"
             f"{getattr(dev, 'device_kind', '')}|"
             f"x64={jax.config.jax_enable_x64}|"
-            # program-shaping tunables (env-overridable) — same source can
-            # lower to different programs under different knob values
-            f"knobs={_mp._SCAN_MIN_K},{_mp._SCAN_MIN_K_SCALED},"
+            # program-shaping tunables (env-overridable, platform-aware) —
+            # same source can lower to different programs under different
+            # effective knob values
+            f"knobs={_mp._scan_min_k(False)},{_mp._scan_min_k(True)},"
             f"{_mp._SCAN_UNROLL},{_mp._VEC_MUL_MIN_K}")
 
 

@@ -80,11 +80,24 @@ def _wide():
 # renorm switches to lax.scan sweeps at this K (compile-time vs fused-kernel
 # runtime trade; see module docstring).  Overridable for experiments.
 # NOTE: which side wins is PLATFORM-dependent — XLA:CPU chokes on big
-# unrolled graphs (K=6 DNF), while the TPU (Mosaic) toolchain compiles
-# unrolled chains fast but is slow on many small scan computations.
-_SCAN_MIN_K = int(os.environ.get("SDPB_TPU_SCAN_RENORM_MIN_K", "6"))
-_SCAN_MIN_K_SCALED = int(os.environ.get("SDPB_TPU_SCAN_RENORM_MIN_K_SCALED", "4"))
+# unrolled graphs (K=6 DNF), while XLA:TPU compiles unrolled chains fine
+# and pays a hard per-trip toll on while loops (profiled round 4: each
+# scan-renorm'd scalar MP op costs ~10-20 us of loop overhead x 7 sweeps,
+# making one scalar mp.div ~3 ms on-chip).  Defaults: scan on CPU from
+# K=6 (classic) / K=4 (scaled); never on TPU (unrolled up to the m cap in
+# _renorm_stacked).  Env overrides force one choice on BOTH platforms.
+_SCAN_MIN_K = os.environ.get("SDPB_TPU_SCAN_RENORM_MIN_K")
+_SCAN_MIN_K_SCALED = os.environ.get("SDPB_TPU_SCAN_RENORM_MIN_K_SCALED")
 _SCAN_UNROLL = int(os.environ.get("SDPB_TPU_SCAN_RENORM_UNROLL", "4"))
+
+
+def _scan_min_k(scaled: bool) -> int:
+    env = _SCAN_MIN_K_SCALED if scaled else _SCAN_MIN_K
+    if env is not None:
+        return int(env)
+    if jax.default_backend() == "cpu":
+        return 4 if scaled else 6
+    return 10**9
 # multiply uses the vectorized outer-product form at this K and above.
 _VEC_MUL_MIN_K = int(os.environ.get("SDPB_TPU_VEC_MUL_MIN_K", "3"))
 
@@ -829,8 +842,11 @@ def _renorm_stacked(S, K, exp=None) -> MP:
     rows = jax.lax.optimization_barrier(tuple(S[i] for i in range(m)))
     S = jnp.stack(rows, axis=0)
     # scaled-mode renorms carry ~3x the ops (alignment + normalization), so
-    # the compile-size wall arrives earlier: scan from K=4 there (CPU)
-    if K >= (_SCAN_MIN_K if exp is None else _SCAN_MIN_K_SCALED) or m > 6 * (K + 2):
+    # the compile-size wall arrives earlier: scan from K=4 there (CPU).
+    # On TPU the unrolled form wins at every K (see _scan_min_k) up to the
+    # m cap, past which graph size forces the scan even there.
+    m_cap = 96 if jax.default_backend() != "cpu" else 6 * (K + 2)
+    if K >= _scan_min_k(exp is not None) or m > m_cap:
         xs = _sweep_scan(S, K)
     else:
         xs = _sweep_unrolled([S[i] for i in range(m)], K)
@@ -965,10 +981,23 @@ def _mul_vectorized(a: MP, b: MP) -> MP:
     P = A * B
     E = ((ah[:, None] * bh[None, :] - P) + ah[:, None] * blo[None, :]
          + alo[:, None] * bh[None, :]) + alo[:, None] * blo[None, :]
-    PE = jnp.concatenate([P.reshape((K * K,) + shape),
-                          E.reshape((K * K,) + shape)], axis=0)
+    Pr = P.reshape((K * K,) + shape)
+    Er = E.reshape((K * K,) + shape)
     idx, diag = _mul_term_plan(K)
-    G = PE[jnp.asarray(idx)]
+    n_elems = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    if n_elems <= 65536 and jax.default_backend() != "cpu":
+        # static row gather: XLA:TPU lowers the dynamic gather below as a
+        # len(idx)-trip while loop of dynamic-update-slices whose fixed
+        # per-trip cost dwarfs small payloads (profiled: ~1 ms for a SCALAR
+        # product; the Newton chains in reciprocal/rsqrt then cost ~3 ms
+        # per division).  Static slices compile to fused copies instead.
+        # Graph cost is +len(idx) ops per call site, so huge shapes keep
+        # the O(1)-graph dynamic gather (its loop toll amortizes there).
+        G = jnp.stack([Pr[i] if i < K * K else Er[i - K * K]
+                       for i in idx], axis=0)
+    else:
+        PE = jnp.concatenate([Pr, Er], axis=0)
+        G = PE[jnp.asarray(idx)]
     if a.scaled:
         # place each term on the result ladder: true term = raw * 2^(C - 2U - 24n)
         d = (C - 2 * _MUL_UNIFORM_EXP - 24 * diag).astype(np.int64)
@@ -1288,7 +1317,16 @@ def reciprocal(b: MP) -> MP:
         e = sub(one, mul(b, r))
         return add(r, mul(r, e))
 
-    return jax.lax.fori_loop(0, _newton_steps(b.K), body, r0)
+    # unrolled Newton on TPU (<= 6 steps at any supported K): a fori_loop
+    # there costs a per-trip while toll and blocks fusion across steps,
+    # tripling the latency of every on-device division.  XLA:CPU keeps the
+    # loop — unrolling inflates its compile time instead.
+    if jax.default_backend() == "cpu":
+        return jax.lax.fori_loop(0, _newton_steps(b.K), body, r0)
+    r = r0
+    for i in range(_newton_steps(b.K)):
+        r = body(i, r)
+    return r
 
 
 def div(a: MP, b: MP) -> MP:
@@ -1324,7 +1362,12 @@ def rsqrt(a: MP) -> MP:
         arr = mul(a, mul(r, r))
         return mul(r, sub(three_half, mul(half, arr)))
 
-    return jax.lax.fori_loop(0, _newton_steps(a.K), body, r)
+    # unrolled on TPU / fori_loop on CPU (see reciprocal)
+    if jax.default_backend() == "cpu":
+        return jax.lax.fori_loop(0, _newton_steps(a.K), body, r)
+    for i in range(_newton_steps(a.K)):
+        r = body(i, r)
+    return r
 
 
 def sqrt(a: MP) -> MP:

@@ -151,30 +151,78 @@ def _mp_matmul_pallas(a: MP, b: MP, chunk: int = 8, interpret: bool = False) -> 
 _VMEM_LIMIT = 12 * 1024 * 1024
 
 
+def _canon_batched_pair(a: MP, b: MP):
+    """Broadcast the leading batch axes of a [..., M, Kd] x [..., Kd, N]
+    pair and flatten them to ONE batch axis: returns (a4, b4, unflatten)
+    with 4-D limb arrays [K, B, M, Kd] / [K, B, Kd, N].
+
+    This is what lets >4-D call sites (e.g. the per-pair weighted sums of
+    constraint_matrix_weighted_sum, [B, npairs, h, Kd] x [B, 1, Kd, N])
+    reach the Pallas kernel: the XLA fallback's gather-by-diagonals lowers
+    to a term-count-trip while loop with a degenerate T(1,128) layout on
+    6-D intermediates — measured 316 ms per call site on nmax6, 72% of the
+    whole IPM iteration."""
+    batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    M, Kd = a.shape[-2], a.shape[-1]
+    N = b.shape[-1]
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+
+    def canon(x: MP, r, c) -> MP:
+        K = x.limbs.shape[0]
+        # right-align the batch axes with explicit singleton fill (a 2-D
+        # operand meeting a batched one broadcasts on a fresh axis)
+        fill = (1,) * (len(batch) - (x.ndim - 2))
+        limbs = x.limbs.reshape((K,) + fill + x.limbs.shape[1:])
+        limbs = jnp.broadcast_to(limbs, (K,) + batch + (r, c))
+        limbs = limbs.reshape((K, B, r, c))
+        exp = None
+        if x.exp is not None:
+            exp = x.exp.reshape(fill + x.exp.shape)
+            exp = jnp.broadcast_to(exp, batch + (r, c)).reshape((B, r, c))
+        return MP(limbs, exp)
+
+    def unflatten(r: MP) -> MP:
+        rl = r.limbs.reshape((r.limbs.shape[0],) + batch + (M, N))
+        re = None if r.exp is None else r.exp.reshape(batch + (M, N))
+        return MP(rl, re)
+
+    return canon(a, M, Kd), canon(b, Kd, N), unflatten
+
+
 def pallas_matmul_viable(a: MP, b: MP) -> bool:
-    """Use the kernel on TPU for 4-D [K,B,M,Kd]x[K,B,Kd,N] float32 operands
-    (classic or scaled) that fit VMEM and are big enough to amortize the
-    kernel dispatch (measured: ~5x faster at 96^3 x batch 11, but slower
-    than fused XLA on toy-sized blocks)."""
+    """Use the kernel on TPU for batched float32 operands (classic or
+    scaled) whose per-program working set fits VMEM.  Callers canonicalize
+    >4-D batches with _canon_batched_pair first.
+
+    The floor is tiny (scalar-ish products only): the XLA fallback's
+    vectorized MP product materializes K^2 limb-product terms and a
+    gather-by-diagonals that TPU lowers to a sequential while loop —
+    profiled 3-30x slower than the kernel at every block size of the nmax6
+    fixture, including [11,16,16]x[11,16,16] (previously below the 2e6
+    threshold) and the 5-D weighted-sum matmuls (previously excluded by an
+    ndim==4 guard)."""
     if not (isinstance(a, MP) and isinstance(b, MP)):
         return False  # wide (MPW) operands take the XLA composite path
     if jax.default_backend() == "cpu":
         return False
-    if a.dtype != jnp.float32 or a.limbs.ndim != 4 or b.limbs.ndim != 4:
+    if a.dtype != jnp.float32:
         return False
-    K, B, M, Kd = a.limbs.shape
+    K = a.limbs.shape[0]
+    M, Kd = a.shape[-2], a.shape[-1]
     N = b.shape[-1]
     per_exp = 1 if a.scaled else 0
     words = (K + per_exp) * (M * Kd + Kd * N + 3 * M * N)
     if words * 4 >= _VMEM_LIMIT:
         return False
-    return K * K * B * M * Kd * N >= 2_000_000
+    return K * K * M * Kd * N >= 4096
 
 
 def mp_matmul(a: MP, b: MP, interpret: bool = False) -> MP:
     """Batched MP matmul via the Pallas kernel (callers guard with
-    pallas_matmul_viable)."""
-    return _mp_matmul_pallas(a, b, interpret=interpret)
+    pallas_matmul_viable).  Accepts any matching/broadcastable leading
+    batch axes; canonicalized to one batch axis internally."""
+    a4, b4, unflatten = _canon_batched_pair(a, b)
+    return unflatten(_mp_matmul_pallas(a4, b4, interpret=interpret))
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +452,7 @@ def pallas_cholesky_viable(A: MP) -> bool:
     n = A.shape[-1]
     if _factor_vmem_words(A.K, n, n, 4) * 4 >= _VMEM_LIMIT:
         return False
-    return n >= 16
+    return n >= 8
 
 
 def pallas_trsm_viable(T: MP, B: MP) -> bool:
@@ -418,7 +466,7 @@ def pallas_trsm_viable(T: MP, B: MP) -> bool:
     if (_factor_vmem_words(T.K, n, n, 2)
             + _factor_vmem_words(T.K, n, m, 3)) * 4 >= _VMEM_LIMIT:
         return False
-    return n >= 16
+    return n >= 8
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -173,3 +173,40 @@ def test_trsm_kernel_parity(scaled):
         worst = max(abs(Ym[b][i][j] - Yxm[b][i][j]) for b in range(B)
                     for i in range(n) for j in range(m))
         assert worst / yscale < mpmath.mpf(2) ** (-24 * (K - 1)), worst
+
+
+@pytest.mark.parametrize("scaled", [False, True])
+def test_matmul_kernel_broadcast_batch(scaled):
+    """>4-D call sites with BROADCAST batch axes reach the kernel via
+    _canon_batched_pair: [B, npairs, h, Kd] x [B, 1, Kd, N] — the
+    constraint_matrix_weighted_sum shape (step.py) whose XLA fallback
+    lowers to a term-count while loop on TPU (the round-4 profile's 72%
+    hot spot).  Parity vs the XLA matmul on the same operands."""
+    K, B, P, h, Kd, N = 3, 2, 2, 5, 7, 5
+    rng = np.random.default_rng(23)
+    spread = 4.0 if scaled else 0.0
+    Wh = rng.standard_normal((B, P, h, Kd)) * 10.0 ** rng.uniform(
+        -spread, spread, (B, P, h, Kd))
+    Bh = rng.standard_normal((B, 1, Kd, N))
+    a = _stage(Wh, K, scaled)
+    b = _stage(Bh, K, scaled)
+
+    out = pk.mp_matmul(a, b, interpret=True)
+    assert out.shape == (B, P, h, N)
+    ref = linalg.matmul(a, b)
+
+    tol = mpmath.mpf(2) ** (-24 * K + 18)
+    with mpmath.workprec(24 * K + 80):
+        for bi in range(B):
+            for p in range(P):
+                for i in range(h):
+                    for j in range(N):
+                        o = _entry(out, (bi, p, i, j))
+                        r = _entry(ref, (bi, p, i, j))
+                        terms = [_entry(a, (bi, p, i, t))
+                                 * _entry(b, (bi, 0, t, j))
+                                 for t in range(Kd)]
+                        exact = mpmath.fsum(terms)
+                        scale = mpmath.fsum(abs(t) for t in terms) + tol
+                        assert abs(o - exact) / scale < tol, (bi, p, i, j)
+                        assert abs(o - r) / scale < tol, (bi, p, i, j)
