@@ -103,6 +103,12 @@ def part_fixture(platform: str, budget_s: float):
         precision=bits, duality_gap_threshold=gap,
         primal_error_threshold=gap, dual_error_threshold=gap,
         initial_matrix_scale_primal=omega, initial_matrix_scale_dual=omega)
+    if platform != "cpu":
+        # pin the factor at full working precision: the auto model picks 4
+        # limbs for gap 1e-10, whose range exhausts near mu ~2e-4 on this
+        # fixture (measured round 4) — each mid-solve heal is a recompile
+        # the bench budget cannot afford
+        base["factor_limbs"] = scaled
 
     # milestone 1: ONE run capped at 31 iterations = two 16-iteration
     # chunks of the device-resident run loop (solver/solve.py

@@ -53,6 +53,10 @@ def add_solver_options(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--minPrimalStep", default=d.min_primal_step)
     g.add_argument("--minDualStep", default=d.min_dual_step)
     g.add_argument("--maxComplementarity", default=d.max_complementarity)
+    g.add_argument("--factorLimbs", type=int, default=d.factor_limbs,
+                   help="TPU extension: Cholesky factor precision in limbs "
+                        "of the mixed-precision solver (0 = auto-size from "
+                        "Omega and the gap threshold + self-heal upward).")
 
 
 def solver_params_from_args(args) -> SolverParameters:
@@ -76,6 +80,7 @@ def solver_params_from_args(args) -> SolverParameters:
         min_primal_step=args.minPrimalStep,
         min_dual_step=args.minDualStep,
         max_complementarity=args.maxComplementarity,
+        factor_limbs=args.factorLimbs,
     )
 
 

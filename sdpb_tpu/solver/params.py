@@ -40,6 +40,13 @@ class SolverParameters:
     max_complementarity: str = "1e100"
     checkpoint_dir: str = ""
     initial_checkpoint_dir: str = ""
+    # TPU extension (no reference analog): Cholesky factor precision in
+    # LIMBS of the mixed-precision solve scheme (ops.linalg.PosdefSolver).
+    # 0 = auto-size from Omega and the gap threshold, then self-heal upward
+    # on conditioning failures.  Explicit values pin the factor (clamped to
+    # [2, precision-derived cap]) — used when the auto model under-sizes
+    # the endgame (each heal is a recompile).
+    factor_limbs: int = 0
 
     def to_dict(self):
         return asdict(self)
@@ -69,4 +76,5 @@ class SolverParameters:
             "max_complementarity": "maxComplementarity",
             "checkpoint_dir": "checkpointDir",
             "initial_checkpoint_dir": "initialCheckpointDir",
+            "factor_limbs": "factorLimbs",
         }

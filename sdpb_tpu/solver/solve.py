@@ -71,6 +71,50 @@ def _np_dtype(dtype):
     return np.float32 if dtype == jnp.float32 else np.float64
 
 
+def initial_factor_limbs(params: SolverParameters, K: int, scaled: bool,
+                         npdt) -> tuple:
+    """(factor_limbs, factor_cap) of the mixed-precision solve scheme.
+
+    The factor must out-range the IPM's worst conditioning — roughly
+    max(Omega^2, 1/gap^2) along the trajectory — so the auto choice covers
+    the DECLARED part (Omega and the requested gap, with margin) and the
+    run loops self-heal the trajectory-dependent part: a non-finite stat
+    or an exploding corrector beta bumps factor_limbs by one (up to the
+    cap), recompiles, and replays from a pre-corruption state.  (Scaled
+    f32 arithmetic saturates instead of producing NaN, so the beta trigger
+    is load-bearing there.)
+
+    params.factor_limbs > 0 pins the choice (clamped).
+
+    The auto model is EMPIRICAL, fit on nmax6/144-bit runs (round 4):
+    bits >= max(4*log2(Omega), 2*(log2(Omega) + log2(1/gap))) + 30.
+    The first term is the early-phase wall (X ~ Omega^2 makes cond(S)
+    scale like Omega^4 before feasibility): 96 bits at Omega=1e6
+    (4*20+30 = 110 needed) produced a silently degraded trajectory from
+    ~iteration 30 — all stats finite, feasible-capped beta, NO trigger
+    fires — while 120 bits was clean.  The second is the endgame wall:
+    120 bits exhausted at gap ~5e-9 (125 needed), 144 bits reached
+    6e-14.  Under-sizing the early term is UNRECOVERABLE (the damage has
+    no local signal); under-sizing the endgame self-heals (gradual p-err
+    growth trips the retry)."""
+    p_bits = 24 if npdt == np.float32 else 53
+    # wide (>216-bit) runs cap the factor at 9 base limbs: factorization
+    # loops stay on the base scaled representation (Pallas-eligible); the
+    # refinement matmuls recover the wide precision (ops.mpwide docstring)
+    factor_cap = 9 if (scaled and K > 9) else K
+    if params.factor_limbs > 0:
+        return min(factor_cap, max(2, params.factor_limbs)), factor_cap
+    with mpmath.workprec(64):
+        log2_omega = float(mpmath.log(max(
+            abs(mpmath.mpf(params.initial_matrix_scale_primal)),
+            abs(mpmath.mpf(params.initial_matrix_scale_dual)), 2), 2))
+        gap_thr = mpmath.mpf(params.duality_gap_threshold)
+        log2_gap_inv = float(-mpmath.log(gap_thr, 2)) if gap_thr > 0 else 0.0
+    bits = max(4 * log2_omega, 2 * (log2_omega + log2_gap_inv)) + 30
+    cond_limbs = -(-int(bits) // p_bits)
+    return min(factor_cap, max(2, (K + 2) // 2, cond_limbs)), factor_cap
+
+
 def run_solver(
     sdp: DeviceSDP,
     params: SolverParameters,
@@ -126,24 +170,7 @@ def run_solver(
     # one (up to K), recompiles, and retries from the last good state.
     # (Scaled f32 arithmetic saturates instead of producing NaN, so the
     # beta trigger is load-bearing there.)
-    p_bits = 24 if npdt == np.float32 else 53
-    with mpmath.workprec(64):
-        log2_omega = float(mpmath.log(max(
-            abs(mpmath.mpf(params.initial_matrix_scale_primal)),
-            abs(mpmath.mpf(params.initial_matrix_scale_dual)), 2), 2))
-        # the ENDGAME conditioning is declared up front too: near
-        # convergence cond(S) ~ 1/gap^2, so a run asked for gap 1e-10
-        # WILL need the corresponding factor range — sizing for it now
-        # avoids the self-heal recompiles mid-solve (measured: nmax6 at
-        # 120 bits heals 3->4->5 limbs around iteration 40 otherwise)
-        gap_thr = mpmath.mpf(params.duality_gap_threshold)
-        log2_gap_inv = float(-mpmath.log(gap_thr, 2)) if gap_thr > 0 else 0.0
-    cond_limbs = -(-int(2 * max(log2_omega, log2_gap_inv) + 30) // p_bits)
-    # wide (>216-bit) runs cap the factor at 9 base limbs: factorization
-    # loops stay on the base scaled representation (Pallas-eligible); the
-    # refinement matmuls recover the wide precision (ops.mpwide docstring)
-    factor_cap = 9 if (scaled and K > 9) else K
-    factor_limbs = min(factor_cap, max(2, (K + 2) // 2, cond_limbs))
+    factor_limbs, factor_cap = initial_factor_limbs(params, K, scaled, npdt)
 
     def make_cfg(kf: int) -> StepConfig:
         return StepConfig(
@@ -225,6 +252,11 @@ def run_solver(
                  "    P-err       p-err       D-err      P-step   D-step  beta")
 
     it = 1
+    # lagged retry snapshot: a poisoned direction corrupts the state one
+    # iteration before any stat shows it, so self-heal retries must rewind
+    # PAST the tripping iteration's input (see _solve_chunked's
+    # chunk-restart; here a rolling 8-iteration snapshot plays that role)
+    snap = (state, it, prev_p_step, prev_d_step)
     while True:
         if checkpoint_fn is not None and (time.time() - last_checkpoint) >= params.checkpoint_interval:
             checkpoint_fn(state, it)
@@ -268,7 +300,9 @@ def run_solver(
                          "dual_error", "primal_step", "dual_step"))
         # corrector beta ~ Tr((X+dX)(Y+dY))/(mu K) explodes when the factors
         # are out of range but the arithmetic saturates instead of NaN-ing
-        # (scaled f32): treat it as the same conditioning failure
+        # (scaled f32): treat it as the same conditioning failure.  Loose
+        # bound on purpose — post-heal recovery passes through betas of
+        # 3e2-5e3 legitimately (see step._stats_finite).
         if finite and float(stats_host.beta_corrector) > 1e4:
             finite = False
         if not finite:
@@ -279,9 +313,11 @@ def run_solver(
                              "increase --precision")
                 break
             factor_limbs += 1
+            state, it, prev_p_step, prev_d_step = snap
             if verbosity >= 1:
                 print_fn(f"conditioning exceeded factor range; increasing "
-                         f"factor precision to {factor_limbs} limbs")
+                         f"factor precision to {factor_limbs} limbs "
+                         f"(replaying from iteration {it})")
             cfg = make_cfg(factor_limbs)
             with timers.scope("run.initialize"):
                 iteration = build_iteration(cfg)
@@ -344,6 +380,8 @@ def run_solver(
         state = new_state
         prev_p_step, prev_d_step = p_step, d_step
         it += 1
+        if it % 8 == 0:
+            snap = (state, it, prev_p_step, prev_d_step)
 
     return SolveResult(
         terminate_reason=reason,
@@ -472,6 +510,36 @@ def _solve_chunked(sdp, params, state, make_cfg, factor_limbs, factor_cap,
         stopped = reason_code != REASON_NONE
         n_advanced = int(carry_h.it) - it_global
         n_exec = n_advanced + (1 if stopped else 0)
+
+        if stopped and reason_code == REASON_RETRY:
+            if factor_limbs >= factor_cap:
+                reason = TerminateReason.MaxComplementarityExceeded
+                if verbosity >= 1:
+                    print_fn("non-finite iteration at full factor "
+                             "precision; increase --precision")
+                state = state2
+                it_global = int(carry_h.it)
+                stats_h = jax.device_get(stats_seq)
+                final_row = _stats_row(stats_h, max(n_exec - 1, 0))
+                break
+            factor_limbs += 1
+            if verbosity >= 1:
+                print_fn(f"conditioning exceeded factor range; increasing "
+                         f"factor precision to {factor_limbs} limbs "
+                         f"(replaying from iteration {it_global})")
+            cfg = make_cfg(factor_limbs)
+            with timers.scope("run.initialize"):
+                chunk_fn = build(cfg)
+            # Retry from the CHUNK-START state, not the tripping
+            # iteration's input: a poisoned search direction corrupts the
+            # state one iteration BEFORE its stats can show it (iteration
+            # t's stats describe t's INPUT state, run.cxx:134-160), so the
+            # stopping iteration's input may already be lost.  The chunk
+            # input predates everything this chunk did, at most `chunk`
+            # iterations of (cheap, deterministic) replay.  `state` and
+            # `carry` still hold the chunk inputs — just don't advance.
+            continue
+
         iteration_seconds.extend([dt / max(n_exec, 1)] * n_exec)
         if verbosity >= 2:
             print_fn(f"  -- chunk: {n_exec} iterations in {dt:.3f} s "
@@ -491,28 +559,6 @@ def _solve_chunked(sdp, params, state, make_cfg, factor_limbs, factor_cap,
         it_global = int(carry_h.it)
 
         if stopped:
-            if reason_code == REASON_RETRY:
-                if factor_limbs >= factor_cap:
-                    reason = TerminateReason.MaxComplementarityExceeded
-                    if verbosity >= 1:
-                        print_fn("non-finite iteration at full factor "
-                                 "precision; increase --precision")
-                    state = state2
-                    break
-                factor_limbs += 1
-                if verbosity >= 1:
-                    print_fn(f"conditioning exceeded factor range; increasing "
-                             f"factor precision to {factor_limbs} limbs")
-                cfg = make_cfg(factor_limbs)
-                with timers.scope("run.initialize"):
-                    chunk_fn = build(cfg)
-                state = state2                      # retry point (input state
-                carry = ChunkCarry(                 # of the failed iteration)
-                    it=carry_h.it, prev_p_step=carry_h.prev_p_step,
-                    prev_d_step=carry_h.prev_d_step,
-                    done=jnp.zeros((), jnp.bool_),
-                    reason=jnp.int32(REASON_NONE))
-                continue
             # normal termination: the stopping row's stats describe the
             # kept (input) state — same as the legacy loop's break-before-
             # update semantics

@@ -707,7 +707,15 @@ class ChunkCarry(NamedTuple):
 
 def _stats_finite(stats: IterationStats):
     """All-finite check over the solve-critical stats (the host loop's
-    self-heal trigger), plus the saturating-f32 beta explosion guard."""
+    self-heal trigger), plus the saturating-f32 beta explosion guard.
+
+    The beta bound stays LOOSE (1e4): recovery from an off-center state
+    after a factor-precision bump legitimately passes through corrector
+    betas of 3e2-5e3 (measured on nmax6 during a successful Kf=5->6 heal),
+    so a tighter bound turns recoverable runs into terminations.  Slow-burn
+    factor-range exhaustion (all stats finite, feasible-phase beta capped
+    at 1) is NOT detectable here at all — preventing it is the factor
+    SIZING's job (solve.initial_factor_limbs)."""
     fields = (stats.primal_objective, stats.dual_objective,
               stats.duality_gap, stats.mu, stats.primal_error_P,
               stats.primal_error_p, stats.dual_error, stats.primal_step,

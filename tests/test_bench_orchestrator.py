@@ -39,11 +39,13 @@ def test_exit_race_final_milestone_lands():
 def test_hung_worker_killed_at_deadline_with_error():
     code = ("import json,time;"
             "print(json.dumps({'milestone':'it_per_s','it_per_s':2.0}),"
-            "flush=True); time.sleep(60)")
+            "flush=True); time.sleep(120)")
     state = {"platform": "cpu"}
     t0 = time.time()
-    bench._multiplex([("fixture", _worker(code))], time.time() + 3, state)
-    assert time.time() - t0 < 15
+    # 10 s deadline: generous headroom for interpreter startup on a loaded
+    # single-core box (3 s flaked when a background compile held the CPU)
+    bench._multiplex([("fixture", _worker(code))], time.time() + 10, state)
+    assert time.time() - t0 < 60
     assert state["fixture"]["it_per_s"] == 2.0
     assert "fixture" in state.get("error", "")
 
