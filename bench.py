@@ -110,7 +110,7 @@ def part_fixture(platform: str, budget_s: float):
         # the bench budget cannot afford
         base["factor_limbs"] = scaled
 
-    # milestone 1: ONE run capped at 31 iterations = two 16-iteration
+    # milestone 1: ONE run capped at 31 iterations = four 8-iteration
     # chunks of the device-resident run loop (solver/solve.py
     # _solve_chunked).  run_solver records per-iteration wall seconds
     # (chunk time / iterations executed); the steady-state rate is the
@@ -257,28 +257,47 @@ def _headline(state: dict) -> dict:
 
 
 def _spawn(args, budget_s: float):
-    """Start a worker subprocess (never blocks the orchestrator)."""
+    """Start a worker subprocess (never blocks the orchestrator).
+    SDPB_BENCH_DEBUG=1 tees worker stderr to /tmp/bench_worker_<part>.log
+    instead of devnull (post-mortem for silent worker stalls)."""
+    stderr = subprocess.DEVNULL
+    if os.environ.get("SDPB_BENCH_DEBUG"):
+        part = args[args.index("--part") + 1] if "--part" in args else "x"
+        stderr = open(f"/tmp/bench_worker_{part}.log", "wb")
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)] + args
         + ["--budget", str(int(budget_s))],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=REPO)
+        stdout=subprocess.PIPE, stderr=stderr, cwd=REPO)
 
 
-def _multiplex(workers, deadline: float, state: dict):
+def _multiplex(workers, deadline: float, state: dict, deferred=None):
     """Relay worker milestones into upgraded headline lines the moment they
     appear.  NON-BLOCKING: a worker stuck in a cold compile that never
     prints must not stall the orchestrator past its deadline (that is
     exactly how round 2's bench produced nothing under the driver's
-    timeout — a blocking readline defeated every budget check)."""
+    timeout — a blocking readline defeated every budget check).
+
+    `deferred`: [(at_time, skip_if_state_key, name, spawn_fn)] — spawn
+    insurance workers only once `at_time` passes AND no milestone from
+    `skip_if_state_key` has landed.  The machine has ONE core: round 4
+    measured the concurrent CPU-toy compile starving the fixture worker's
+    executable-cache load (8+ min under contention vs 27 s solo), timing
+    the REAL measurement out of its own budget."""
     import selectors
 
     sel = selectors.DefaultSelector()
     live = {}
-    for name, proc in workers:
+    bufs = {}
+
+    def register(name, proc):
         os.set_blocking(proc.stdout.fileno(), False)
         sel.register(proc.stdout, selectors.EVENT_READ, (name, proc))
         live[name] = proc
-    bufs = {name: b"" for name, _ in workers}
+        bufs[name] = b""
+
+    for name, proc in workers:
+        register(name, proc)
+    deferred = list(deferred or [])
 
     def _drain(name, proc):
         """Read whatever is available on the worker's pipe (binary,
@@ -300,7 +319,13 @@ def _multiplex(workers, deadline: float, state: dict):
             state.setdefault(name, {}).update(rec)
             _emit(_headline(state))
 
-    while live and time.time() < deadline:
+    while (live or deferred) and time.time() < deadline:
+        for at, skip_key, name, spawn_fn in list(deferred):
+            if skip_key in state:
+                deferred.remove((at, skip_key, name, spawn_fn))
+            elif time.time() >= at:
+                deferred.remove((at, skip_key, name, spawn_fn))
+                register(name, spawn_fn())
         for key, _ in sel.select(timeout=1.0):
             name, proc = key.data
             _drain(name, proc)
@@ -354,17 +379,25 @@ def main():
     _emit(_headline(state))
 
     workers = []
+    deferred = []
     if platform != "cpu" and os.path.exists(FIXTURE):
         workers.append(("fixture", _spawn(
             ["--part", "fixture", "--platform", platform],
             deadline - time.time() - 20)))
-    # CPU toy insurance runs CONCURRENTLY: the fixture worker spends its
-    # first minutes waiting on a (remote, server-side) TPU compile when the
-    # executable cache is cold, so the toy lands a real measurement early
-    workers.append(("toy", _spawn(
-        ["--part", "toy", "--platform", "cpu"],
-        deadline - time.time() - 20)))
-    _multiplex(workers, deadline - 10, state)
+        # CPU toy insurance is DEFERRED: it only starts if the fixture
+        # worker has produced no milestone after 150 s (cold server-side
+        # compile or an unreachable chip).  Running it concurrently from
+        # t=0 starves the fixture's executable-cache load on this
+        # single-core host (measured: 27 s solo -> 8+ min contended).
+        deferred.append((time.time() + 150, "fixture", "toy",
+                         lambda: _spawn(["--part", "toy", "--platform",
+                                         "cpu"],
+                                        deadline - time.time() - 20)))
+    else:
+        workers.append(("toy", _spawn(
+            ["--part", "toy", "--platform", "cpu"],
+            deadline - time.time() - 20)))
+    _multiplex(workers, deadline - 10, state, deferred=deferred)
     _emit(_headline(state))
 
 

@@ -220,9 +220,13 @@ def run_solver(
         # device-resident chunked driver: up to `chunk` iterations per
         # dispatch with on-device termination — one host sync per chunk
         # instead of per iteration (see step.make_chunked_iteration)
+        # default chunk 8: host-sync amortization is already negligible
+        # there (~0.8 ms/iteration) while the compiled program — and with
+        # it cold-compile time and the executable-cache load the bench
+        # pays — is half of chunk 16's
         return _solve_chunked(
             sdp, params, state, make_cfg, factor_limbs, factor_cap,
-            chunk_iterations if chunk_iterations > 0 else 16,
+            chunk_iterations if chunk_iterations > 0 else 8,
             verbosity, checkpoint_fn, timers, print_fn, use_compile_cache)
 
     cfg = make_cfg(factor_limbs)

@@ -96,3 +96,36 @@ def test_headline_priority_and_fallback():
     rec = bench._headline(st)
     assert rec["metric"] == "nmax6_time_to_solution[tpu]"
     assert rec["vs_baseline"] == pytest.approx(0.39)
+
+
+def test_deferred_insurance_skipped_when_primary_lands():
+    """The deferred toy must NOT spawn once the fixture milestone landed
+    (single-core contention protection), and MUST spawn when the fixture
+    stays silent past its trigger time."""
+    fx = ("import json;"
+          "print(json.dumps({'milestone':'tts','tts_s':5.0}), flush=True)")
+    spawned = []
+
+    def spawn_toy():
+        spawned.append(1)
+        return _worker("import json;"
+                       "print(json.dumps({'milestone':'toy_tts',"
+                       "'toy_tts_s':1.0}), flush=True)")
+
+    state = {"platform": "tpu"}
+    bench._multiplex([("fixture", _worker(fx))], time.time() + 25, state,
+                     deferred=[(time.time() + 12, "fixture", "toy",
+                                spawn_toy)])
+    assert state["fixture"]["tts_s"] == 5.0
+    assert not spawned
+
+    # silent fixture -> insurance fires and its milestone lands
+    silent = "import time; time.sleep(120)"
+    state = {"platform": "tpu"}
+    t0 = time.time()
+    bench._multiplex([("fixture", _worker(silent))], time.time() + 30, state,
+                     deferred=[(time.time() + 2, "fixture", "toy",
+                                spawn_toy)])
+    assert spawned
+    assert state["toy"]["toy_tts_s"] == 1.0
+    assert time.time() - t0 < 60
