@@ -98,6 +98,17 @@ def test_headline_priority_and_fallback():
     assert rec["vs_baseline"] == pytest.approx(0.39)
 
 
+def _toy_decide_at(t_toy):
+    """Mirror of main()'s toy-insurance decision."""
+    def decide(st, now, exited):
+        if "fixture" in st:
+            return "drop"
+        if "fixture" in exited:
+            return "spawn"
+        return "spawn" if now >= t_toy else "wait"
+    return decide
+
+
 def test_deferred_insurance_skipped_when_primary_lands():
     """The deferred toy must NOT spawn once the fixture milestone landed
     (single-core contention protection), and MUST spawn when the fixture
@@ -114,7 +125,7 @@ def test_deferred_insurance_skipped_when_primary_lands():
 
     state = {"platform": "tpu"}
     bench._multiplex([("fixture", _worker(fx))], time.time() + 25, state,
-                     deferred=[(time.time() + 12, "fixture", "toy",
+                     deferred=[("toy", _toy_decide_at(time.time() + 12),
                                 spawn_toy)])
     assert state["fixture"]["tts_s"] == 5.0
     assert not spawned
@@ -124,8 +135,92 @@ def test_deferred_insurance_skipped_when_primary_lands():
     state = {"platform": "tpu"}
     t0 = time.time()
     bench._multiplex([("fixture", _worker(silent))], time.time() + 30, state,
-                     deferred=[(time.time() + 2, "fixture", "toy",
+                     deferred=[("toy", _toy_decide_at(time.time() + 2),
                                 spawn_toy)])
     assert spawned
     assert state["toy"]["toy_tts_s"] == 1.0
     assert time.time() - t0 < 60
+
+
+def test_deferred_insurance_fires_on_primary_crash():
+    """A fixture worker that dies WITHOUT a milestone must trigger the
+    insurance immediately (not after the 150 s trigger time)."""
+    spawned = []
+
+    def spawn_toy():
+        spawned.append(1)
+        return _worker("import json;"
+                       "print(json.dumps({'milestone':'toy_tts',"
+                       "'toy_tts_s':1.0}), flush=True)")
+
+    state = {"platform": "tpu"}
+    t0 = time.time()
+    bench._multiplex([("fixture", _worker("raise SystemExit(1)"))],
+                     time.time() + 60, state,
+                     deferred=[("toy", _toy_decide_at(time.time() + 55),
+                                spawn_toy)])
+    assert spawned
+    assert state["toy"]["toy_tts_s"] == 1.0
+    assert time.time() - t0 < 30      # far before the 55 s trigger
+
+
+def test_wide_contract_milestone_after_fixture_tts():
+    """The wide worker spawns only after the fixture full solve lands, and
+    its fields fold into the fixture headline (contract caveat flips)."""
+    deadline = time.time() + 40
+
+    def wide_decide(st, now, exited):
+        fx = st.get("fixture", {})
+        if "tts_s" not in fx:
+            return "drop" if "fixture" in exited else "wait"
+        return "spawn" if (deadline - now) > 5 else "drop"
+
+    fx = ("import json;"
+          "print(json.dumps({'milestone':'tts','tts_s':3.3,"
+          "'precision_bits':144}), flush=True)")
+    wide = ("import json;"
+            "print(json.dumps({'milestone':'wide_contract',"
+            "'wide_tts_s':120.0,'wide_gap':5e-31,"
+            "'wide_precision_bits':432}), flush=True)")
+    state = {"platform": "tpu"}
+    bench._multiplex([("fixture", _worker(fx))], deadline, state,
+                     deferred=[("wide", wide_decide,
+                                lambda: _worker(wide))])
+    rec = bench._headline(state)
+    assert rec["metric"] == "nmax6_time_to_solution[tpu]"
+    assert rec["value"] == 3.3
+    assert rec["wide_tts_s"] == 120.0
+    assert "1e-30 contract" in rec["caveat"] or "contract" in rec["caveat"]
+    assert "not matched" not in rec["caveat"]
+
+
+def test_wide_dropped_when_fixture_dies():
+    """No wide attempt when the fixture worker dies without a full solve."""
+    spawned = []
+
+    def wide_decide(st, now, exited):
+        fx = st.get("fixture", {})
+        if "tts_s" not in fx:
+            return "drop" if "fixture" in exited else "wait"
+        return "spawn"
+
+    state = {"platform": "tpu"}
+    bench._multiplex([("fixture", _worker("raise SystemExit(1)"))],
+                     time.time() + 30, state,
+                     deferred=[("wide", wide_decide,
+                                lambda: spawned.append(1) or _worker("pass"))])
+    assert not spawned
+
+
+def test_hung_wide_worker_is_note_not_error():
+    """An unfinished OPTIONAL wide worker must annotate, not error, the
+    record (the headline metric already landed)."""
+    state = {"platform": "tpu",
+             "fixture": {"tts_s": 3.3, "precision_bits": 144}}
+    bench._multiplex([("wide", _worker("import time; time.sleep(120)"))],
+                     time.time() + 3, state)
+    assert "error" not in state
+    assert "wide_note" in state["wide"]
+    rec = bench._headline(state)
+    assert rec["metric"] == "nmax6_time_to_solution[tpu]"
+    assert "error" not in rec
