@@ -157,13 +157,14 @@ def part_fixture(platform: str, budget_s: float):
 
 def part_wide(platform: str, budget_s: float):
     """Optional third milestone: the reference's DEFAULT precision contract
-    (>= 400 bits to duality gap 1e-30, Solver_Parameters.cxx:18,51-55) on
-    the same nmax6 fixture, at 432-bit WIDE scaled-f32 arithmetic.
+    (>= 400 bits to duality gap 1e-30, Solver_Parameters.cxx:18,59-64) on
+    the same nmax6 fixture, at 432-bit WIDE scaled-f32 arithmetic (wide
+    matmuls run in the Pallas two-word kernel since round 5).
 
-    Only spawned when a successful warm run has left a marker file (see
-    _wide_marker) — the wide executable is far too big to cold-compile
-    inside the bench budget, and an un-warmed attempt would only burn the
-    chip."""
+    A successful run WRITES the warm-marker file (measured est_s + config)
+    so later bench runs can budget the milestone; with no marker the run
+    is attempted anyway when the budget is generous (a warm executable
+    cache finishes in minutes; a cold one times out as a note)."""
     import mpmath
     import numpy as np
     from sdpb_tpu.io.sdp_zip import read_sdp
@@ -172,30 +173,49 @@ def part_wide(platform: str, budget_s: float):
     from sdpb_tpu.solver.solve import run_solver
 
     marker = _read_wide_marker()
+    if "est_s" in marker and float(marker["est_s"]) + 60 > budget_s:
+        _emit({"milestone": "skip_wide",
+               "why": f"marker est {marker['est_s']}s + 60 > {budget_s:.0f}s "
+                      "worker budget"})
+        return
     K32 = 18
     K64 = -(-(24 * K32) // 53) + 1
     host = read_sdp(FIXTURE, K64, np.float64)
     sdp = build_device_sdp(host, quant=32, scaled_limbs=K32)
+    omega = marker.get("omega", "1e6")
+    chunk = int(marker.get("chunk", 4))
     params = SolverParameters(
         precision=432, duality_gap_threshold="1e-30",
         primal_error_threshold="1e-30", dual_error_threshold="1e-30",
-        initial_matrix_scale_primal=marker.get("omega", "1e6"),
-        initial_matrix_scale_dual=marker.get("omega", "1e6"),
+        initial_matrix_scale_primal=omega,
+        initial_matrix_scale_dual=omega,
         max_iterations=300)
     t0 = time.time()
     res = run_solver(sdp, params, verbosity=0, use_compile_cache=True,
-                     chunk_iterations=int(marker.get("chunk", 1)))
+                     chunk_iterations=chunk)
     tts = time.time() - t0
     with mpmath.workprec(600):
         digits = -float(mpmath.log10(
             abs(res.primal_objective - mpmath.mpf(ORACLE))
             + mpmath.mpf(10) ** -60))
+    gap = float(res.duality_gap)
     _emit({"milestone": "wide_contract", "wide_tts_s": round(tts, 1),
            "wide_iterations": res.iterations,
            "wide_terminate": str(res.terminate_reason),
-           "wide_gap": float(res.duality_gap),
+           "wide_gap": gap,
            "wide_objective_digits": round(digits, 1),
            "wide_precision_bits": 432})
+    if gap <= 1e-30:
+        # leave the warm marker so the next bench run can budget (and the
+        # deferred-spawn logic can rely on) a measured estimate — this
+        # write is what makes the milestone self-sustaining (round-4
+        # VERDICT: the marker previously had no writer at all)
+        try:
+            with open(_wide_marker_path(), "w") as f:
+                json.dump({"est_s": round(tts, 1), "omega": omega,
+                           "chunk": chunk}, f)
+        except OSError:
+            pass
 
 
 def _wide_marker_path():
@@ -267,11 +287,45 @@ def _probe() -> str:
         return "cpu"
 
 
-def _headline(state: dict) -> dict:
+def _profile_fields() -> dict:
+    """Per-phase device profile of the committed round profile JSON
+    (tools/profile_phases.py --json), folded into the headline so the
+    record carries a utilization number next to the wall-clock one
+    (reference timing-run analog: src/sdpb/write_timing.cxx:17-31)."""
+    cands = [os.path.join(
+        os.environ.get("SDPB_TPU_CACHE",
+                       os.path.expanduser("~/.cache/sdpb_tpu/xla")),
+        "phases_nmax6.json")]
+    import glob
+    cands += sorted(glob.glob(os.path.join(REPO, "PHASES_r*.json")),
+                    reverse=True)
+    for p in cands:
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rows = [r for r in rec.get("phases", [])
+                if r.get("pct_of_peak") is not None]
+        if not rows:
+            continue
+        ms = sum(r["ms"] for r in rows)
+        agg = sum(r["ms"] * r["pct_of_peak"] for r in rows) / ms if ms else 0
+        return {"profile_device_ms_per_iter": rec.get("iteration_ms"),
+                "profile_pct_vpu_peak": round(agg, 1),
+                "profile_vpu_peak_gflops": rec.get(
+                    "vpu_peak_gflops_measured"),
+                "profile_source": os.path.basename(p)}
+    return {}
+
+
+def _headline(state: dict, pending: bool = False) -> dict:
     """Best available headline from accumulated milestones.  Milestones are
     namespaced per worker (state['fixture'] / state['toy']) so a toy
     milestone landing after a fixture one cannot contaminate the nmax6
-    headline (or vice versa)."""
+    headline (or vice versa).  `pending=True` marks the opening
+    placeholder (no milestone yet, not a failure): the final empty-handed
+    record keeps the bench_failed metric."""
     plat = state.get("platform", "?")
     fx = state.get("fixture", {})
     toy = state.get("toy", {})
@@ -283,12 +337,27 @@ def _headline(state: dict) -> dict:
         f"device (precision contract not matched; more limbs available at "
         f"higher cost)")
     if wide.get("wide_gap", 1.0) <= 1e-30:
-        caveat_prec = (
-            f"reference anchor is 39 s / 6 MPI ranks / 768 bits / gap "
-            f"9e-31; headline solves the same SDP at {bits} bits to gap "
-            f"1e-10 on one device; the wide_* fields are the SAME chip "
-            f"solving the SAME SDP at 432 bits to gap <= 1e-30 — the "
-            f"reference's default --precision 400 / 1e-30 contract")
+        # the wide run satisfies the reference's DEFAULT contract
+        # (--precision 400 / thresholds 1e-30, Solver_Parameters.cxx:18,
+        # 59-64): it IS the headline; the narrow fixture fields ride along
+        rec = {"metric": f"nmax6_time_to_solution_wide[{plat}]",
+               "value": wide["wide_tts_s"], "unit": "s",
+               "vs_baseline": round(BASELINE_S / wide["wide_tts_s"], 3),
+               "caveat": (
+                   "contract-matched headline: same nmax6 SDP at 432 bits "
+                   "to duality gap <= 1e-30 on ONE chip vs the reference "
+                   "anchor 39 s / 6 MPI ranks / 768 bits / gap 9e-31 "
+                   "(432 >= the 400-bit default --precision; anchor ran "
+                   "768).  The *_s/it_per_s fields are the faster 144-bit "
+                   "/ gap 1e-10 configuration of the same SDP")}
+        rec.update({k: v for k, v in wide.items() if k not in rec})
+        rec.update({k: v for k, v in fx.items() if k not in rec})
+        rec.update(_profile_fields())
+        rec["platform"] = plat
+        if "error" in state:
+            rec["error"] = state["error"]
+        rec.pop("milestone", None)
+        return rec
     if "tts_s" in fx:
         rec = {"metric": f"nmax6_time_to_solution[{plat}]",
                "value": fx["tts_s"], "unit": "s",
@@ -296,6 +365,7 @@ def _headline(state: dict) -> dict:
                "caveat": caveat_prec}
         rec.update({k: v for k, v in fx.items() if k not in rec})
         rec.update({k: v for k, v in wide.items() if k not in rec})
+        rec.update(_profile_fields())
     elif "it_per_s" in fx:
         anchor = BASELINE_ITS / BASELINE_S  # ~2.9 it/s, 6 ranks, 768 bits
         rec = {"metric": f"nmax6_ipm_iterations_per_s[{plat}]",
@@ -313,8 +383,8 @@ def _headline(state: dict) -> dict:
                          "(TPU unreachable or compile cache cold)"}
         rec.update({k: v for k, v in toy.items() if k not in rec})
     else:
-        rec = {"metric": "bench_failed", "value": -1, "unit": "s",
-               "vs_baseline": 0.0}
+        rec = {"metric": "bench_pending" if pending else "bench_failed",
+               "value": -1, "unit": "s", "vs_baseline": 0.0}
     rec["platform"] = plat
     if "error" in state:
         rec["error"] = state["error"]
@@ -336,7 +406,8 @@ def _spawn(args, budget_s: float):
         stdout=subprocess.PIPE, stderr=stderr, cwd=REPO)
 
 
-def _multiplex(workers, deadline: float, state: dict, deferred=None):
+def _multiplex(workers, deadline: float, state: dict, deferred=None,
+               optional=("wide",)):
     """Relay worker milestones into upgraded headline lines the moment they
     appear.  NON-BLOCKING: a worker stuck in a cold compile that never
     prints must not stall the orchestrator past its deadline (that is
@@ -344,9 +415,11 @@ def _multiplex(workers, deadline: float, state: dict, deferred=None):
     timeout — a blocking readline defeated every budget check).
 
     `deferred`: [(name, decide_fn, spawn_fn)] — decide_fn(state, now,
-    exited) -> "wait" | "spawn" | "drop", polled each loop (`exited` =
-    names of workers that have terminated, so a decision can distinguish
-    "no milestone yet" from "died without one").  Used for (a) the CPU-toy
+    exited, live) -> "wait" | "spawn" | "drop", polled each loop (`exited`
+    = names of workers that have terminated, `live` = names currently
+    running, so a decision can distinguish "no milestone yet" from "died
+    without one" and avoid spawning against a still-running sibling).
+    `optional`: worker names whose non-completion is a note, not an error.  Used for (a) the CPU-toy
     insurance worker, spawned only once 150 s pass with no fixture
     milestone (the machine has ONE core: round 4 measured the concurrent
     CPU-toy compile starving the fixture worker's executable-cache load —
@@ -393,7 +466,7 @@ def _multiplex(workers, deadline: float, state: dict, deferred=None):
     while (live or deferred) and time.time() < deadline:
         for entry in list(deferred):
             name, decide_fn, spawn_fn = entry
-            verdict = decide_fn(state, time.time(), exited)
+            verdict = decide_fn(state, time.time(), exited, set(live))
             if verdict == "drop":
                 deferred.remove(entry)
             elif verdict == "spawn":
@@ -417,10 +490,10 @@ def _multiplex(workers, deadline: float, state: dict, deferred=None):
                 exited.add(name)
     for name, proc in live.items():
         _drain(name, proc)
-        if name == "wide":
+        if name in optional:
             # optional extra milestone: not finishing is not a failure
-            state.setdefault("wide", {})["wide_note"] = (
-                "optional 432-bit contract milestone did not finish "
+            state.setdefault(name, {})[f"{name}_note"] = (
+                f"optional '{name}' milestone did not finish "
                 "within the bench budget")
         else:
             state["error"] = state.get("error", "") + f"[{name}] timed out; "
@@ -458,7 +531,7 @@ def main():
     state["platform"] = platform
     # a complete (if empty-handed) headline FIRST: whatever happens later,
     # the driver's last-JSON-line parse never comes up empty
-    _emit(_headline(state))
+    _emit(_headline(state, pending=True))
 
     workers = []
     deferred = []
@@ -474,7 +547,7 @@ def main():
         # single-core host (measured: 27 s solo -> 8+ min contended).
         t_toy = time.time() + 150
 
-        def _toy_decide(st, now, exited):
+        def _toy_decide(st, now, exited, live):
             if "fixture" in st:
                 return "drop"
             if "fixture" in exited:    # died without a milestone: insure NOW
@@ -488,21 +561,23 @@ def main():
 
         # wide 432-bit contract milestone: only after the fixture full
         # solve has landed (one chip — never two device workloads at
-        # once), only with a warm-marker file (the wide executable cannot
-        # cold-compile inside the budget), and only if the marker's
-        # measured estimate fits the remaining budget.
+        # once) and the CPU toy insurance (if spawned) has exited (one
+        # core — its compile would starve the wide executable-cache
+        # load), and only if the remaining budget plausibly covers it:
+        # the warm-marker's measured estimate when present (written by
+        # every successful wide run), a conservative default otherwise.
         marker = _read_wide_marker()
 
-        def _wide_decide(st, now, exited):
-            if not marker:
-                return "drop"
+        def _wide_decide(st, now, exited, live):
             fx = st.get("fixture", {})
             if "tts_s" not in fx:
                 # keep waiting while the fixture worker is alive; if it
                 # died without a full solve, the budget belongs to it, not
                 # an extra milestone
                 return "drop" if "fixture" in exited else "wait"
-            est = float(marker.get("est_s", 240)) + 60
+            if "toy" in live:
+                return "wait"
+            est = float(marker.get("est_s", 300)) + 60
             return "spawn" if (deadline - now) > est else "drop"
 
         deferred.append(("wide", _wide_decide,

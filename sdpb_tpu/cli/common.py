@@ -57,6 +57,11 @@ def add_solver_options(parser: argparse.ArgumentParser) -> None:
                    help="TPU extension: Cholesky factor precision in limbs "
                         "of the mixed-precision solver (0 = auto-size from "
                         "Omega and the gap threshold + self-heal upward).")
+    g.add_argument("--kktResidualThreshold",
+                   default=d.kkt_residual_threshold,
+                   help="TPU extension: relative Schur solve-residual above "
+                        "which the solver treats the factor as under-sized "
+                        "and self-heals (0 disables).")
 
 
 def solver_params_from_args(args) -> SolverParameters:
@@ -81,6 +86,7 @@ def solver_params_from_args(args) -> SolverParameters:
         min_dual_step=args.minDualStep,
         max_complementarity=args.maxComplementarity,
         factor_limbs=args.factorLimbs,
+        kkt_residual_threshold=args.kktResidualThreshold,
     )
 
 

@@ -147,6 +147,199 @@ def _mp_matmul_pallas(a: MP, b: MP, chunk: int = 8, interpret: bool = False) -> 
     return MP(res[0], res[1] if scaled else None)
 
 
+# ---------------------------------------------------------------------------
+# WIDE (two-word MPW) matmul kernel
+#
+# Wide operands previously fell back to the XLA composite path, whose
+# traced mul_full/add_full graphs at every call site made the 432-bit
+# program un-compilable inside any bench budget (round-4 VERDICT item 1).
+# This kernel carries the whole wide contraction on-chip with the
+# fori-loop sweep forms of ops.mpwide_kernel: one Mosaic custom call per
+# matmul site, traced graph O(K) in size.
+
+
+def _matmul_wide_kernel(*refs, K: int, n_steps: int, chunk: int,
+                        unroll: bool = False):
+    """One (batch, contraction-chunk) grid step: accumulate `chunk` terms
+    of o = a @ b in WIDE (two-word) arithmetic into the output refs.
+
+    The contraction is a GRID dimension (innermost, sequential), NOT an
+    in-kernel fori_loop: loop-carrying tile-shaped accumulators through
+    Mosaic's fori lowering corrupted low words on ~5% of elements at
+    [8, 8] tiles (measured round 5), while the canonical revisit-the-
+    output-block reduction is exact AND gets pipelined operand loads for
+    free.  `a` arrives TRANSPOSED as at[K,1,chunk,M] per word (see
+    _matmul_kernel).  Ref order: a word0 (limbs, exp), a word1, b word0,
+    b word1, then the same four pairs for the output."""
+    import jax.experimental.pallas as pl
+
+    from ..ops import mpwide_kernel as wk
+
+    a_refs = refs[0:4]
+    b_refs = refs[4:8]
+    o_refs = refs[8:12]
+    M = a_refs[0].shape[4]
+    N = b_refs[0].shape[4]
+
+    step = pl.program_id(1)
+
+    def read_acc():
+        ws = []
+        for w in range(2):
+            limbs = jnp.stack([o_refs[2 * w][k, 0] for k in range(K)], 0)
+            ws.append((limbs, o_refs[2 * w + 1][0]))
+        return tuple(ws)
+
+    def write_acc(acc):
+        for w in range(2):
+            limbs, e = acc[w]
+            for k in range(K):
+                o_refs[2 * w][k, 0] = limbs[k]
+            o_refs[2 * w + 1][0] = e
+
+    @pl.when(step == 0)
+    def _init():
+        write_acc(wk.wzeros((M, N), K))
+
+    acc = read_acc()
+    # operand refs are [K, 1, 1, chunk, M|N] (the contraction axis is
+    # pre-split into full trailing (chunk, M) blocks — Mosaic requires the
+    # last two block dims be full or (8, 128)-divisible)
+    A = [(jnp.stack([a_refs[2 * w][k, 0, 0] for k in range(K)], 0),
+          a_refs[2 * w + 1][0, 0]) for w in range(2)]
+    B = [(jnp.stack([b_refs[2 * w][k, 0, 0] for k in range(K)], 0),
+          b_refs[2 * w + 1][0, 0]) for w in range(2)]
+    for t in range(chunk):
+        wa = tuple((l[:, t, :].reshape(K, M, 1), e[t, :].reshape(M, 1))
+                   for l, e in A)
+        wb = tuple((l[:, t, :].reshape(K, 1, N), e[t, :].reshape(1, N))
+                   for l, e in B)
+        # cheap-carry accumulate; the two-word invariant is restored once
+        # on the last step (wnormalize)
+        acc = wk.wfma_acc(acc, wa, wb, K)
+    write_acc(acc)
+
+    @pl.when(step == n_steps - 1)
+    def _final():
+        write_acc(wk.wnormalize(read_acc(), K))
+
+
+def _wide_val_specs(pl, pltpu, K, n, m, contract: bool):
+    """Specs for one wide operand under the (batch, k-chunk) grid:
+    `contract=True` addresses [K, B, n_steps, chunk, m] arrays sliced by
+    the contraction grid index (full trailing (chunk, m) blocks);
+    False revisits the same [.., n, m] output block every k step."""
+    specs = []
+    if contract:
+        for _ in range(2):
+            specs.append(pl.BlockSpec(
+                (K, 1, 1, n, m), lambda b, kk: (0, b, kk, 0, 0),
+                memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec(
+                (1, 1, n, m), lambda b, kk: (b, kk, 0, 0),
+                memory_space=pltpu.VMEM))
+        return specs
+    for _ in range(2):
+        specs.append(pl.BlockSpec((K, 1, n, m), lambda b, kk: (0, b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec((1, n, m), lambda b, kk: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
+def _wide_args_t(a, swap: bool, n_steps: int, chunk: int):
+    """MPW -> flat arg list (w0 limbs, w0 exp, w1 limbs, w1 exp), with the
+    last two axes optionally transposed (the `a` operand) and the
+    contraction axis split into (n_steps, chunk) so each grid step's
+    block is a full trailing (chunk, m) slab."""
+    out = []
+    for w in a.words:
+        limbs, exp = w.limbs, w.exp
+        if swap:
+            limbs = jnp.swapaxes(limbs, 2, 3)
+            exp = jnp.swapaxes(exp, 1, 2)
+        K, B = limbs.shape[:2]
+        m = limbs.shape[3]
+        out.append(limbs.reshape(K, B, n_steps, chunk, m))
+        out.append(exp.reshape(B, n_steps, chunk, m))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _mp_matmul_pallas_wide(a, b, chunk: int = 2, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops.mpwide import MPW
+
+    K = a.Kg
+    _, B, M, Kd = a.words[0].limbs.shape
+    N = b.words[0].limbs.shape[3]
+    pad = (-Kd) % chunk
+    if pad:
+        a = MPW(tuple(
+            MP(jnp.pad(w.limbs, ((0, 0), (0, 0), (0, 0), (0, pad))),
+               jnp.pad(w.exp, ((0, 0), (0, 0), (0, pad)),
+                       constant_values=int(EXP_ZERO))) for w in a.words))
+        b = MPW(tuple(
+            MP(jnp.pad(w.limbs, ((0, 0), (0, 0), (0, pad), (0, 0))),
+               jnp.pad(w.exp, ((0, 0), (0, pad), (0, 0)),
+                       constant_values=int(EXP_ZERO))) for w in b.words))
+        Kd += pad
+    n_steps = Kd // chunk
+    kernel = functools.partial(_matmul_wide_kernel, K=K, n_steps=n_steps,
+                               chunk=chunk, unroll=interpret)
+    in_specs = (_wide_val_specs(pl, pltpu, K, chunk, M, contract=True)
+                + _wide_val_specs(pl, pltpu, K, chunk, N, contract=True))
+    out_specs = _wide_val_specs(pl, pltpu, K, M, N, contract=False)
+    out_shapes = []
+    for _ in range(2):
+        out_shapes.append(jax.ShapeDtypeStruct((K, B, M, N), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((B, M, N), jnp.int32))
+    res = pl.pallas_call(
+        kernel, grid=(B, n_steps), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(*_wide_args_t(a, swap=True, n_steps=n_steps, chunk=chunk),
+      *_wide_args_t(b, swap=False, n_steps=n_steps, chunk=chunk))
+    return MPW((MP(res[0], res[1]), MP(res[2], res[3])))
+
+
+def _canon_wide_pair(a, b):
+    """_canon_batched_pair word-wise for MPW operands."""
+    from ..ops.mpwide import MPW
+
+    ca, cb, unf = [], [], []
+    for wa, wb in zip(a.words, b.words):
+        a4, b4, u = _canon_batched_pair(wa, wb)
+        ca.append(a4)
+        cb.append(b4)
+        unf.append(u)
+    return (MPW(tuple(ca)), MPW(tuple(cb)),
+            lambda r: MPW(tuple(u(w) for u, w in zip(unf, r.words))))
+
+
+def pallas_wide_matmul_viable(a, b) -> bool:
+    """Wide (MPW) pair viability: two 216-bit words per operand, f32, TPU,
+    VMEM covering operands + accumulator + the transient sweep stacks of
+    mul_full (~2K^2 + K rows of [M, N])."""
+    if not (hasattr(a, "words") and hasattr(b, "words")):
+        return False
+    if a.G != 2 or b.G != 2:
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    if a.dtype != jnp.float32:
+        return False
+    K = a.Kg
+    M, Kd = a.shape[-2], a.shape[-1]
+    N = b.shape[-1]
+    words = 2 * (K + 1) * (M * Kd + Kd * N + 3 * M * N)
+    sweep = (4 * K * K + 2 * K) * M * N
+    if (words + sweep) * 4 >= _VMEM_LIMIT:
+        return False
+    return True
+
+
 # VMEM budget per program (bytes); operands + accumulator + headroom
 _VMEM_LIMIT = 12 * 1024 * 1024
 
@@ -202,7 +395,9 @@ def pallas_matmul_viable(a: MP, b: MP) -> bool:
     threshold) and the 5-D weighted-sum matmuls (previously excluded by an
     ndim==4 guard)."""
     if not (isinstance(a, MP) and isinstance(b, MP)):
-        return False  # wide (MPW) operands take the XLA composite path
+        # wide (MPW) pairs have their own kernel (round-5: previously the
+        # XLA composite path, which could not cold-compile at nmax6 scale)
+        return pallas_wide_matmul_viable(a, b)
     if jax.default_backend() == "cpu":
         return False
     if a.dtype != jnp.float32:
@@ -220,7 +415,11 @@ def pallas_matmul_viable(a: MP, b: MP) -> bool:
 def mp_matmul(a: MP, b: MP, interpret: bool = False) -> MP:
     """Batched MP matmul via the Pallas kernel (callers guard with
     pallas_matmul_viable).  Accepts any matching/broadcastable leading
-    batch axes; canonicalized to one batch axis internally."""
+    batch axes; canonicalized to one batch axis internally.  Wide (MPW)
+    pairs route to the two-word kernel."""
+    if hasattr(a, "words"):
+        a4, b4, unflatten = _canon_wide_pair(a, b)
+        return unflatten(_mp_matmul_pallas_wide(a4, b4, interpret=interpret))
     a4, b4, unflatten = _canon_batched_pair(a, b)
     return unflatten(_mp_matmul_pallas(a4, b4, interpret=interpret))
 

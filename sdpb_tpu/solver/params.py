@@ -47,6 +47,15 @@ class SolverParameters:
     # [2, precision-derived cap]) — used when the auto model under-sizes
     # the endgame (each heal is a recompile).
     factor_limbs: int = 0
+    # TPU extension: relative KKT solve-residual guard.  The empirical
+    # factor-sizing law (solve.initial_factor_limbs) has a SILENT failure
+    # mode — an under-ranged early-phase factor degrades the trajectory
+    # with every stat finite (solve.py docstring).  Each iteration now
+    # measures max_blocks ||S u - rhs|| / ||rhs|| of the predictor/
+    # corrector Schur solves at full precision; exceeding this threshold
+    # triggers the same self-heal as a non-finite stat (factor bump +
+    # chunk replay).  "0" disables the guard.
+    kkt_residual_threshold: str = "1e-2"
 
     def to_dict(self):
         return asdict(self)
@@ -77,4 +86,5 @@ class SolverParameters:
             "checkpoint_dir": "checkpointDir",
             "initial_checkpoint_dir": "initialCheckpointDir",
             "factor_limbs": "factorLimbs",
+            "kkt_residual_threshold": "kktResidualThreshold",
         }

@@ -173,7 +173,13 @@ def run_solver(
     factor_limbs, factor_cap = initial_factor_limbs(params, K, scaled, npdt)
 
     def make_cfg(kf: int) -> StepConfig:
+        # KKT solve-residual guard: below the factor cap a trip self-heals
+        # (REASON_RETRY); at the cap it is measured but only warned about
+        # (see StepConfig.kkt_heal)
         return StepConfig(
+            kkt_residual_threshold=float(
+                mpmath.mpf(params.kkt_residual_threshold)),
+            kkt_heal=kf < factor_cap,
             total_psd_rows=sdp.total_psd_rows,
             axis=axis if (mesh is not None and mesh_mode == "shard_map") else None,
             factor_limbs=kf,
@@ -256,6 +262,7 @@ def run_solver(
                  "    P-err       p-err       D-err      P-step   D-step  beta")
 
     it = 1
+    kkt_warned = False
     # lagged retry snapshot: a poisoned direction corrupts the state one
     # iteration before any stat shows it, so self-heal retries must rewind
     # PAST the tripping iteration's input (see _solve_chunked's
@@ -309,6 +316,23 @@ def run_solver(
         # 3e2-5e3 legitimately (see step._stats_finite).
         if finite and float(stats_host.beta_corrector) > 1e4:
             finite = False
+        # tripped KKT solve-residual guard: the silent factor under-range
+        # mode (all stats finite) — same cure as a non-finite stat while
+        # a factor bump is possible; at the cap, warn loudly instead of
+        # wandering silently (the round-4 96-bit episode)
+        if finite and cfg.kkt_residual_threshold > 0 and \
+                float(stats_host.kkt_residual) > cfg.kkt_residual_threshold:
+            if cfg.kkt_heal:
+                finite = False
+            elif not kkt_warned:
+                kkt_warned = True
+                if verbosity >= 1:
+                    print_fn(
+                        f"WARNING: KKT solve residual "
+                        f"{float(stats_host.kkt_residual):.2e} exceeds "
+                        f"{cfg.kkt_residual_threshold:.0e} at full factor "
+                        f"precision — results may be degraded; increase "
+                        f"--precision")
         if not finite:
             if factor_limbs >= factor_cap:
                 reason = TerminateReason.MaxComplementarityExceeded
@@ -485,6 +509,7 @@ def _solve_chunked(sdp, params, state, make_cfg, factor_limbs, factor_cap,
     p_obj = d_obj = gap = _nan
     perr_P = perr_p = derr = float("nan")
     final_row = None
+    kkt_warned = False
     it_global = 1
     carry = carry0
     max_it = jnp.int32(params.max_iterations)
@@ -560,6 +585,17 @@ def _solve_chunked(sdp, params, state, make_cfg, factor_limbs, factor_cap,
                     _print_iteration_line(print_fn, it_global + i, elapsed,
                                           row)
                 final_row = row
+            if (cfg.kkt_residual_threshold > 0 and not cfg.kkt_heal
+                    and not kkt_warned and n_exec > 0 and verbosity >= 1):
+                worst = float(np.max(
+                    np.asarray(stats_h.kkt_residual)[:n_exec]))
+                if worst > cfg.kkt_residual_threshold:
+                    kkt_warned = True
+                    print_fn(
+                        f"WARNING: KKT solve residual {worst:.2e} exceeds "
+                        f"{cfg.kkt_residual_threshold:.0e} at full factor "
+                        f"precision — results may be degraded; increase "
+                        f"--precision")
         it_global = int(carry_h.it)
 
         if stopped:

@@ -158,6 +158,11 @@ class IterationStats(NamedTuple):
     beta_corrector: jnp.ndarray    # base scalar
     is_pd_feasible: jnp.ndarray    # bool
     max_complementarity_exceeded: jnp.ndarray  # bool
+    # relative Schur solve residual max_blocks ||S u - rhs|| / ||rhs||
+    # (full precision, worst of predictor/corrector).  The detector for
+    # the factor-sizing law's SILENT under-range mode (all stats finite,
+    # trajectory degraded) — see StepConfig.kkt_residual_threshold.
+    kkt_residual: jnp.ndarray      # base scalar
 
 
 # ---------------------------------------------------------------------------
@@ -349,6 +354,16 @@ class StepConfig:
     detect_dual_feasible_jump: bool = False
     min_primal_step: float = 0.0
     min_dual_step: float = 0.0
+    # KKT solve-residual guard: relative Schur residual above this value
+    # is a conditioning failure, catching the sizing law's silent
+    # under-range mode that no finiteness check can see
+    # (solve.initial_factor_limbs docstring).  0 disables measurement.
+    # With kkt_heal (factor below its cap) a trip raises REASON_RETRY
+    # (factor bump + replay); at the cap the host only WARNS — a degraded
+    # run that still progresses beats a dead one, matching the
+    # reference's grind-to-small-steps behavior.
+    kkt_residual_threshold: float = 0.0
+    kkt_heal: bool = True
 
 
 def make_iteration(cfg: StepConfig):
@@ -555,9 +570,21 @@ def make_iteration(cfg: StepConfig):
             # u = S^{-1} rhs;  dy = Q^{-1}(p - B^T u);  dx = u + (S^{-1}B) dy
             us = []
             dy_local = mp.zeros((sdp.dual_dim,), K, dtype, scaled=scaled)
+            kkt_resid = jnp.zeros((), dtype=dtype)
             for i, bk in enumerate(sdp.buckets):
                 u = S_solvers[i].solve(linalg.col(dxs[i]), cfg.n_refine)
                 us.append(u)
+                if cfg.kkt_residual_threshold > 0:
+                    # full-precision solve residual: the only signal the
+                    # silent factor under-range mode produces
+                    r = mp.sub(linalg.col(dxs[i]),
+                               linalg.matmul(S_solvers[i].A, u))
+                    rn = mp.max_abs(_row_mask_mp(r[..., 0], bk.row_mask))
+                    bn = mp.max_abs(_row_mask_mp(dxs[i], bk.row_mask))
+                    tiny = np.finfo(np.float32 if dtype == jnp.float32
+                                    else np.float64).tiny
+                    kkt_resid = jnp.maximum(
+                        kkt_resid, rn / jnp.maximum(bn, tiny))
                 t = linalg.matmul(bk.Bmat.mT, u)[..., 0]       # [B,N]
                 dy_local = mp.add(dy_local, mp.sum_(t, axis=0))
             dy = mp.sub(primal_residue_p, _psum_mp(dy_local, axis))
@@ -585,7 +612,7 @@ def make_iteration(cfg: StepConfig):
                     bdY.append(dY)
                 dXs.append(bdX)
                 dYs.append(bdY)
-            return (dXs, dYs, dxs, dy, beta), None
+            return (dXs, dYs, dxs, dy, beta), kkt_resid
 
         def zeros_like_psd(bs, bk):
             return [mp.zeros(X.shape, K, dtype, scaled=scaled)
@@ -599,8 +626,9 @@ def make_iteration(cfg: StepConfig):
             mp.zeros((sdp.dual_dim,), K, dtype, scaled=scaled),
             mp.zeros((), K, dtype, scaled=scaled),
         )
-        (dXs, dYs, dxs, dy, beta_corr), _ = jax.lax.scan(
+        (dXs, dYs, dxs, dy, beta_corr), kkt_seq = jax.lax.scan(
             pc_body, carry0, jnp.arange(2))
+        kkt_residual = _pmax(jnp.max(kkt_seq), axis)
 
         # ---- step lengths (step.cxx:129-144)
         lam_p, lam_d = None, None
@@ -655,6 +683,7 @@ def make_iteration(cfg: StepConfig):
             beta_corrector=mp.to_float_array(beta_corr),
             is_pd_feasible=is_pd_feasible,
             max_complementarity_exceeded=max_comp_exceeded,
+            kkt_residual=kkt_residual,
         )
         return stats, new_state
 
@@ -785,8 +814,15 @@ def make_chunked_iteration(cfg: StepConfig, chunk: int):
             reason_now = jnp.int32(REASON_NONE)
             for cond, code in reversed(checks):
                 reason_now = jnp.where(cond, jnp.int32(code), reason_now)
-            # non-finite preempts everything (host checks finiteness first)
-            reason_now = jnp.where(finite, reason_now,
+            # non-finite preempts everything (host checks finiteness first);
+            # a tripped KKT solve-residual guard is the same class of
+            # failure with the same cure (factor bump + chunk replay)
+            healthy = finite
+            if cfg.kkt_residual_threshold > 0 and cfg.kkt_heal:
+                healthy = jnp.logical_and(
+                    healthy,
+                    stats.kkt_residual <= cfg.kkt_residual_threshold)
+            reason_now = jnp.where(healthy, reason_now,
                                    jnp.int32(REASON_RETRY))
 
             active = jnp.logical_not(cy.done)

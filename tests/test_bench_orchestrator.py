@@ -100,7 +100,7 @@ def test_headline_priority_and_fallback():
 
 def _toy_decide_at(t_toy):
     """Mirror of main()'s toy-insurance decision."""
-    def decide(st, now, exited):
+    def decide(st, now, exited, live):
         if "fixture" in st:
             return "drop"
         if "fixture" in exited:
@@ -165,11 +165,12 @@ def test_deferred_insurance_fires_on_primary_crash():
 
 
 def test_wide_contract_milestone_after_fixture_tts():
-    """The wide worker spawns only after the fixture full solve lands, and
-    its fields fold into the fixture headline (contract caveat flips)."""
+    """The wide worker spawns only after the fixture full solve lands; a
+    contract-satisfying wide result (gap <= 1e-30) BECOMES the headline
+    (round 5), with the 144-bit fields riding along."""
     deadline = time.time() + 40
 
-    def wide_decide(st, now, exited):
+    def wide_decide(st, now, exited, live):
         fx = st.get("fixture", {})
         if "tts_s" not in fx:
             return "drop" if "fixture" in exited else "wait"
@@ -187,10 +188,11 @@ def test_wide_contract_milestone_after_fixture_tts():
                      deferred=[("wide", wide_decide,
                                 lambda: _worker(wide))])
     rec = bench._headline(state)
-    assert rec["metric"] == "nmax6_time_to_solution[tpu]"
-    assert rec["value"] == 3.3
-    assert rec["wide_tts_s"] == 120.0
-    assert "1e-30 contract" in rec["caveat"] or "contract" in rec["caveat"]
+    assert rec["metric"] == "nmax6_time_to_solution_wide[tpu]"
+    assert rec["value"] == 120.0
+    assert rec["vs_baseline"] == round(39.0 / 120.0, 3)
+    assert rec["tts_s"] == 3.3          # the 144-bit fields ride along
+    assert "contract-matched" in rec["caveat"]
     assert "not matched" not in rec["caveat"]
 
 
@@ -198,7 +200,7 @@ def test_wide_dropped_when_fixture_dies():
     """No wide attempt when the fixture worker dies without a full solve."""
     spawned = []
 
-    def wide_decide(st, now, exited):
+    def wide_decide(st, now, exited, live):
         fx = st.get("fixture", {})
         if "tts_s" not in fx:
             return "drop" if "fixture" in exited else "wait"
