@@ -82,7 +82,8 @@ def main(argv=None) -> int:
     factor_limbs = min(K_dev, 9) if scaled_limbs else K
     n_refine = 1 if not scaled_limbs else max(1, -(-K_dev // factor_limbs))
 
-    from ..tools.approx_objective import (load_solver_state, make_setup_fn,
+    from ..tools.approx_objective import (load_reference_solver_state,
+                                          load_solver_state, make_setup_fn,
                                           save_solver_state)
 
     frozen = None
@@ -92,6 +93,12 @@ def main(argv=None) -> int:
         if loaded is not None and loaded[1] == factor_limbs:
             frozen = loaded[0]
         else:
+            # reference --writeSolverState text blocks (setup_solver.cxx
+            # reuse path): skip the Schur rebuild when a reference run
+            # left its frozen solver behind
+            frozen = load_reference_solver_state(
+                solution_dir, sdp, factor_limbs, n_refine)
+        if frozen is None:
             setup = jax.jit(make_setup_fn(factor_limbs, n_refine))
             frozen = setup(sdp, state)
             if args.writeSolverState:

@@ -21,8 +21,8 @@ arithmetic in a form a Mosaic (Pallas TPU) kernel can carry:
 
 Semantics mirror ops.mpfloat's scaled-mode add / _mul_vectorized /
 add_full / mul_full and ops.mpwide's G=2 word composition (wmul / wadd);
-parity is pinned by tests/test_mpwide_kernel.py against mpmath and the
-composite path.  The wide value model (two 216-bit scaled words with
+parity is pinned by tests/test_mpwide_kernel.py (CPU, Kg=5) and the on-chip
+wide solve tests against mpmath.  The wide value model (two 216-bit scaled words with
 independent exponents, |w1| <~ 2^-(24K) |w0|) is documented in ops.mpwide.
 
 A value here is an SVal pair (limbs [K, *shape] f32, exp [*shape] int32);
@@ -89,16 +89,27 @@ def _scale_arr(S, d, steps: int = 3):
     return _bx(jnp.where(d < 0, jnp.zeros_like(out), out))
 
 
-def _mul_pow2_exact(x, p: int):
-    """x * 2^p for a static int p by exponent-field addition: exact for
-    normals, immune to constant-folding overflow (the staged-multiply
-    form needs barriers XLA-side; Mosaic-side this is also cheapest).
-    Zeros (and subnormals, which both backends flush) stay zero."""
+def _mul_pow2_lift(x, p: int):
+    """Exact x * 2^p (static p >= 23) for normal AND subnormal x.
+
+    Normals scale by exponent-field addition (immune to constant-folding
+    overflow; no multiply to flush).  Subnormal values — which legally
+    appear as deep residual/limb content when operands carry content gaps
+    wider than the ~242-bit f32-normal window — are re-expressed through
+    an EXACT int->float conversion of their mantissa (< 2^23) times a
+    normal power of two: Mosaic flushes subnormal multiply results, so a
+    plain staged multiply would silently drop exactly the bits this lift
+    exists to save (measured: a flushed 2^-243-relative hi limb cost the
+    432-bit product its contract)."""
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     eb = (bits >> 23) & 0xFF
-    shifted = bits + jnp.int32(p << 23)
-    return jax.lax.bitcast_convert_type(
-        jnp.where(eb == 0, jnp.zeros_like(bits), shifted), jnp.float32)
+    normal = jax.lax.bitcast_convert_type(
+        jnp.where(eb == 0, jnp.zeros_like(bits), bits + jnp.int32(p << 23)),
+        jnp.float32)
+    mant = (bits & 0x7FFFFF).astype(jnp.float32)     # exact: < 2^23
+    sign = jnp.where(bits < 0, np.float32(-1.0), np.float32(1.0))
+    sub = sign * mant * np.float32(2.0 ** (p - 149))
+    return jnp.where(eb == 0, sub, normal)
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +249,32 @@ def mul_st(a: SVal, b: SVal, K: int) -> SVal:
 # Word-level error-free transforms (two-ladder routing)
 
 
+def _extract_hi(xs, K: int):
+    """Compact the K extracted sweep rows into hi limbs, SPILLING
+    sub-window content to the lo ladder.
+
+    With gapped operands the extraction can leave hi limbs more than
+    ~242 bits below the word top — at or near f32 subnormal, where any
+    Mosaic multiply (including _normalize_st's re-centering and every
+    downstream op) flushes them to zero, silently costing the two-word
+    pair its 432-bit contract (measured round 5).  Limbs whose biased
+    exponent is < 26 (mantissa tail at/under 2^-125, margin 2 for the
+    normalize shift) are therefore moved EXACTLY onto the lo ladder via
+    the subnormal-safe lift; hi keeps only flush-proof limbs.  Returns
+    (hi limb stack [K, *shape], spill rows for the lo stack)."""
+    his = list(xs[:K])
+    for i in range(K - 1):
+        his[i], his[i + 1] = two_sum(his[i], his[i + 1])
+    for i in range(K - 1, 0, -1):
+        his[i - 1], his[i] = two_sum(his[i - 1], his[i])
+    stack = jnp.stack(his, axis=0)
+    ebh = _exp_bits(stack)
+    keep = ebh >= 26
+    spill = [_mul_pow2_lift(jnp.where(keep[k], np.float32(0.0), stack[k]),
+                            24 * K) for k in range(K)]
+    return jnp.where(keep, stack, np.float32(0.0)), spill
+
+
 def add_full_st(a: SVal, b: SVal, K: int) -> Tuple[SVal, SVal]:
     """TwoSum of scaled words: hi + lo == a + b exactly (to the -242-bit
     routing bound documented in mpfloat.add_full)."""
@@ -269,14 +306,10 @@ def add_full_st(a: SVal, b: SVal, K: int) -> Tuple[SVal, SVal]:
         rows.append(a_hi[i])
         rows.append(b_hi[i])
     xs = _sweeps_exact(rows, K)
-    his = xs[:K]
-    for i in range(K - 1):
-        his[i], his[i + 1] = two_sum(his[i], his[i + 1])
-    for i in range(K - 1, 0, -1):
-        his[i - 1], his[i] = two_sum(his[i - 1], his[i])
-    hi = _normalize_st(jnp.stack(his, axis=0), e_hi, K)
+    his, spill = _extract_hi(xs, K)
+    hi = _normalize_st(his, e_hi, K)
 
-    lo_rows = [_mul_pow2_exact(x, 24 * K) for x in xs[K:]]
+    lo_rows = spill + [_mul_pow2_lift(x, 24 * K) for x in xs[K:]]
     for i in range(K):
         lo_rows.append(a_lo[i])
         lo_rows.append(b_lo[i])
@@ -323,14 +356,10 @@ def mul_full_st(a: SVal, b: SVal, K: int) -> Tuple[SVal, SVal]:
                                   Drow + 24 * K))
 
     xs = _sweeps_exact(hi_rows, K)
-    his = xs[:K]
-    for i in range(K - 1):
-        his[i], his[i + 1] = two_sum(his[i], his[i + 1])
-    for i in range(K - 1, 0, -1):
-        his[i - 1], his[i] = two_sum(his[i - 1], his[i])
-    hi = _normalize_st(jnp.stack(his, axis=0), exp_hi, K)
+    his, spill = _extract_hi(xs, K)
+    hi = _normalize_st(his, exp_hi, K)
 
-    res = [_mul_pow2_exact(x, 24 * K) for x in xs[K:]]
+    res = spill + [_mul_pow2_lift(x, 24 * K) for x in xs[K:]]
     lo = renorm_st(res + lo_rows, K, exp_lo)
     return hi, lo
 

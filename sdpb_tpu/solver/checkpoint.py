@@ -206,6 +206,25 @@ def load_checkpoint(checkpoint_dir, sdp: DeviceSDP, verbosity: int = 1,
                 name, idx = key.rsplit("_", 1)
                 blocks.setdefault(int(idx), {})[name] = data[key]
             return _state_from_block_arrays(sdp, data["y"], blocks)
+    # reference rank-local BINARY checkpoint (drop-in migration from an
+    # in-flight reference run; single-rank layout only)
+    import re as _re
+
+    if ck.is_dir() and any(
+            _re.fullmatch(r"checkpoint_\d+_\d+", f.name)
+            for f in ck.iterdir() if f.is_file()):
+        from ..io.ref_checkpoint import (checkpoint_precision,
+                                         load_reference_binary_checkpoint)
+
+        try:
+            prec = checkpoint_precision(ck)
+        except ValueError:
+            import jax.numpy as jnp
+
+            p = 24 if sdp.b.dtype == jnp.float32 else 53
+            prec = p * sdp.b.K
+        return load_reference_binary_checkpoint(ck, sdp, prec, verbosity,
+                                                print_fn)
     if (ck / "x_0.txt").exists():
         return load_text_checkpoint(ck, sdp, verbosity, print_fn)
     return None

@@ -220,6 +220,97 @@ def load_solver_state(path) -> Optional[tuple]:
     return frozen, int(data["__factor_limbs"])
 
 
+def load_reference_solver_state(solution_dir, sdp, factor_limbs: int,
+                                n_refine: int) -> Optional[FrozenSchur]:
+    """FrozenSchur from the reference's --writeSolverState TEXT blocks
+    (schur_complement_cholesky_<j>.txt + Q_cholesky.txt,
+    /root/reference/src/approx_objective/setup_solver.cxx:40-52 /
+    write_solver_state.cxx) — drop-in reuse of a reference run's frozen
+    solver.  S and Q are reconstructed as L L^T from the full-precision
+    factors; S^{-1}B comes from a refined solve against the reconstructed
+    S (the schur_off_diagonal_* files carry only the factor-forward solve
+    L^{-1}B, which the mixed-precision scheme re-derives anyway).
+    Returns None when the directory has no Q_cholesky.txt."""
+    import os
+    from pathlib import Path
+
+    from ..io.text_blocks import read_text_matrix
+
+    solution_dir = Path(solution_dir)
+    if not (solution_dir / "Q_cholesky.txt").exists():
+        return None
+    K = sdp.b.K
+    dtype = sdp.b.dtype
+    scaled = sdp.b.scaled
+    p = 24 if dtype == jnp.float32 else 53
+    K64 = -(-(p * K) // 53) + 1
+
+    def stage(out64):
+        if scaled and K > 9:
+            from ..ops.mpwide import f64_limbs_to_wide_parts, wide_parts_to_mp
+
+            return wide_parts_to_mp(f64_limbs_to_wide_parts(out64, K))
+        if scaled:
+            limbs, exp = mp.f64_limbs_to_scaled_parts(out64, K)
+            return MP(jnp.asarray(limbs), jnp.asarray(exp))
+        npdt = np.float32 if dtype == jnp.float32 else np.float64
+        return MP(jnp.asarray(mp.f64_limbs_to_classic(out64, K, npdt),
+                              dtype=dtype))
+
+    def lower_of(arr64):
+        """Text factors may be stored upper (the reference Choleskys Q in
+        the UPPER triangle): transpose to lower by content."""
+        strict_upper = np.triu(np.abs(arr64).sum(axis=0), 1).sum()
+        strict_lower = np.tril(np.abs(arr64).sum(axis=0), -1).sum()
+        return arr64 if strict_lower >= strict_upper else \
+            np.swapaxes(arr64, -1, -2)
+
+    Ss, S_Ls, S_dinvs, SinvBs = [], [], [], []
+    for bk in sdp.buckets:
+        sh = bk.shape
+        B = bk.batch
+        P = sh.schur_size
+        out = np.zeros((K64, B, P, P), np.float64)
+        for i, rs in enumerate(bk.real_sizes):
+            if rs.block_index < 0:
+                out[0, i] = np.eye(P)
+                continue
+            P_real = sh.n_pairs * rs.num_points
+            arr = read_text_matrix(
+                solution_dir
+                / f"schur_complement_cholesky_{rs.block_index}.txt",
+                K64, np.float64, expect_shape=(P_real, P_real))
+            arr = lower_of(arr)
+            if P_real == P:
+                out[:, i] = arr
+            else:
+                # shape-padded constraint rows carry identity (the
+                # _schur_complement padding convention)
+                o4 = out[:, i].reshape(K64, sh.n_pairs, sh.num_points,
+                                       sh.n_pairs, sh.num_points)
+                a4 = arr.reshape(K64, sh.n_pairs, rs.num_points,
+                                 sh.n_pairs, rs.num_points)
+                o4[:, :, :rs.num_points, :, :rs.num_points] = a4
+                pad = np.arange(P).reshape(sh.n_pairs, sh.num_points)[
+                    :, rs.num_points:].ravel()
+                out[0, i, pad, pad] = 1.0
+        L = stage(out)
+        S = linalg.matmul(L, L.mT)
+        ssol = linalg.PosdefSolver(S, factor_limbs)
+        Ss.append(S)
+        S_Ls.append(ssol.L)
+        S_dinvs.append(ssol.dinv)
+        SinvBs.append(ssol.solve(bk.Bmat, n_refine))
+    N = sdp.dual_dim
+    q64 = lower_of(read_text_matrix(solution_dir / "Q_cholesky.txt",
+                                    K64, np.float64, expect_shape=(N, N)))
+    QL = stage(q64)
+    Q = linalg.matmul(QL, QL.mT)
+    qsol = linalg.PosdefSolver(Q, factor_limbs)
+    return FrozenSchur(Ss=Ss, S_Ls=S_Ls, S_dinvs=S_dinvs, SinvBs=SinvBs,
+                       Q=Q, Q_L=qsol.L, Q_dinv=qsol.dinv)
+
+
 def stage_host_mp(arr, scaled_limbs: int = 0, dtype=None):
     """Host limb stack -> device MP in the requested representation
     (classic when scaled_limbs == 0; scaled/wide exponent-tracked f32

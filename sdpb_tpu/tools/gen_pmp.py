@@ -23,12 +23,30 @@ import random
 
 
 def generate_pmp(num_blocks: int, dim: int, dual_dim: int, degree: int,
-                 num_poles: int = 8, seed: int = 0) -> dict:
+                 num_poles: int = 8, seed: int = 0,
+                 solvable: bool = False) -> dict:
+    """solvable=True certifies primal-dual solvability by construction
+    (the BASELINE ladder's hundreds-of-blocks solve target): the
+    normalization is [1, 0...], so the reduced problem reads
+    M_j(x) = P0_j(x) + sum_i y_i Pi_j(x) >= 0 — P0_j is made pointwise
+    diagonally dominant with positive diagonals (all diagonal coefficients
+    >= 0.3 with constant >= 1; off-diagonals coefficient-wise below
+    0.3/(dim-1) by Gershgorin), so y = 0 is strictly feasible; with many
+    random perturbation directions the feasible region is a.s. bounded,
+    so the IPM terminates primal-dual optimal."""
     rng = random.Random(seed)
     nvec = dual_dim + 1
 
     def coeffs():
         return [f"{rng.uniform(-2.0, 2.0):.17g}" for _ in range(degree + 1)]
+
+    def diag0_coeffs():
+        return ([f"{rng.uniform(1.0, 2.0):.17g}"]
+                + [f"{rng.uniform(0.3, 1.3):.17g}" for _ in range(degree)])
+
+    def off0_coeffs():
+        s = 0.3 / max(1, dim - 1) / 1.5
+        return [f"{rng.uniform(-s, s):.17g}" for _ in range(degree + 1)]
 
     matrices = []
     for j in range(num_blocks):
@@ -43,7 +61,10 @@ def generate_pmp(num_blocks: int, dim: int, dual_dim: int, degree: int,
         upper = {}
         for r in range(dim):
             for c in range(r, dim):
-                upper[(r, c)] = [coeffs() for _ in range(nvec)]
+                vec = [coeffs() for _ in range(nvec)]
+                if solvable:
+                    vec[0] = diag0_coeffs() if r == c else off0_coeffs()
+                upper[(r, c)] = vec
         rows = [[upper[(min(r, c), max(r, c))] for c in range(dim)]
                 for r in range(dim)]
         matrices.append({"DampedRational": dr, "polynomials": rows})
@@ -68,10 +89,13 @@ def main(argv=None) -> int:
     p.add_argument("--degree", type=int, default=18)
     p.add_argument("--poles", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--solvable", action="store_true",
+                   help="certify primal-dual solvability by construction "
+                        "(strictly feasible y=0; see generate_pmp)")
     p.add_argument("--output", "-o", required=True)
     args = p.parse_args(argv)
     data = generate_pmp(args.blocks, args.dim, args.dual, args.degree,
-                        args.poles, args.seed)
+                        args.poles, args.seed, solvable=args.solvable)
     with open(args.output, "w") as f:
         json.dump(data, f)
     n = entry_count(args.blocks, args.dim, args.dual, args.degree)

@@ -107,3 +107,57 @@ def test_planner_lpt_order():
     loads = [sum(costs[i] for i in ch) for ch in chunks]
     # the big block is alone-ish; no chunk has two of the three big blocks
     assert max(loads) <= 101
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(TOY), reason="no reference data")
+def test_reference_solver_state_reuse(tmp_path):
+    """The reference's --writeSolverState TEXT blocks
+    (schur_complement_cholesky_<j>.txt, Q_cholesky.txt;
+    setup_solver.cxx:40-52) load into a FrozenSchur matching the directly
+    built one.  Q_cholesky is written UPPER-triangular (as the reference's
+    Cholesky(UPPER, Q) stores it) to exercise the triangle detection."""
+    import jax
+
+    from sdpb_tpu.io.sdp_zip import read_sdp
+    from sdpb_tpu.io.text_blocks import write_text_matrix
+    from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.ops import linalg, mpfloat as mp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import run_solver
+    from sdpb_tpu.tools.approx_objective import (load_reference_solver_state,
+                                                 make_setup_fn)
+
+    K = 3
+    host = read_sdp(TOY, K, np.float64)
+    sdp = build_device_sdp(host)
+    params = SolverParameters(
+        precision=150, duality_gap_threshold="1e-10",
+        primal_error_threshold="1e-10", dual_error_threshold="1e-10",
+        initial_matrix_scale_primal="1e2", initial_matrix_scale_dual="1e2",
+        max_iterations=200)
+    res = run_solver(sdp, params, verbosity=0)
+    frozen0 = jax.jit(make_setup_fn(K, 1))(sdp, res.state)
+
+    # full-precision factors, written in the reference text layout
+    L = linalg.cholesky(frozen0.Ss[0])          # [B, P, P] lower
+    QL = linalg.cholesky(frozen0.Q)             # [N, N] lower
+    bk = sdp.buckets[0]
+    for i, rs in enumerate(bk.real_sizes):
+        if rs.block_index < 0:
+            continue
+        write_text_matrix(
+            tmp_path / f"schur_complement_cholesky_{rs.block_index}.txt",
+            np.asarray(L.limbs[:, i]))
+    write_text_matrix(tmp_path / "Q_cholesky.txt",
+                      np.swapaxes(np.asarray(QL.limbs), -1, -2))  # UPPER
+
+    frozen1 = load_reference_solver_state(tmp_path, sdp, K, 1)
+    assert frozen1 is not None
+    for a, b in ((frozen1.Q, frozen0.Q), (frozen1.Ss[0], frozen0.Ss[0]),
+                 (frozen1.SinvBs[0], frozen0.SinvBs[0])):
+        av = np.asarray(mp.to_double(a))
+        bv = np.asarray(mp.to_double(b))
+        scale = np.max(np.abs(bv)) or 1.0
+        assert np.allclose(av, bv, rtol=0, atol=1e-13 * scale), \
+            np.max(np.abs(av - bv)) / scale
