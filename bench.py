@@ -218,6 +218,73 @@ def part_wide(platform: str, budget_s: float):
             pass
 
 
+LADDER = os.path.join(REPO, "fixtures", "ising_ladder_120", "sdp.zip")
+
+
+def part_ladder(platform: str, budget_s: float):
+    """Optional BASELINE-ladder milestone: the 120-block Ising-class SDP
+    (fixtures/ising_ladder_120, generated by tools/gen_pmp.py --solvable)
+    solved on one chip at 216 bits to duality gap 1e-20 — the north-star
+    metric's "hundreds of blocks / time-to-1e-20" rung (BASELINE.json
+    configs[2]).  Budgeted by the ladder warm-marker like the wide
+    milestone; a successful run writes it."""
+    import mpmath
+    import numpy as np
+    from sdpb_tpu.io.sdp_zip import read_sdp
+    from sdpb_tpu.models.sdp import build_device_sdp
+    from sdpb_tpu.solver.params import SolverParameters
+    from sdpb_tpu.solver.solve import run_solver
+
+    marker = _read_marker("ladder_120_warm.json")
+    if "est_s" in marker and float(marker["est_s"]) + 60 > budget_s:
+        _emit({"milestone": "skip_ladder",
+               "why": f"marker est {marker['est_s']}s + 60 > "
+                      f"{budget_s:.0f}s worker budget"})
+        return
+    scaled = 9
+    K64 = -(-(24 * scaled) // 53) + 1
+    host = read_sdp(LADDER, K64, np.float64)
+    sdp = build_device_sdp(host, quant=32, scaled_limbs=scaled)
+    omega = marker.get("omega", "1e4")
+    params = SolverParameters(
+        precision=216, duality_gap_threshold="1e-20",
+        primal_error_threshold="1e-20", dual_error_threshold="1e-20",
+        initial_matrix_scale_primal=omega, initial_matrix_scale_dual=omega,
+        max_iterations=300)
+    t0 = time.time()
+    res = run_solver(sdp, params, verbosity=0, use_compile_cache=True)
+    tts = time.time() - t0
+    ts = res.iteration_seconds or [tts]
+    tail = sorted(ts[len(ts) // 2:]) or ts
+    gap = float(res.duality_gap)
+    _emit({"milestone": "ladder", "ladder_tts_s": round(tts, 1),
+           "ladder_iterations": res.iterations,
+           "ladder_terminate": str(res.terminate_reason),
+           "ladder_gap": gap,
+           "ladder_it_per_s": round(1.0 / tail[len(tail) // 2], 3),
+           "ladder_blocks": 120, "ladder_precision_bits": 216})
+    if gap <= 1e-20:
+        try:
+            with open(_marker_path("ladder_120_warm.json"), "w") as f:
+                json.dump({"est_s": round(tts, 1), "omega": omega}, f)
+        except OSError:
+            pass
+
+
+def _marker_path(name: str):
+    cache = os.environ.get("SDPB_TPU_CACHE",
+                           os.path.expanduser("~/.cache/sdpb_tpu/xla"))
+    return os.path.join(cache, name)
+
+
+def _read_marker(name: str) -> dict:
+    try:
+        with open(_marker_path(name)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def _wide_marker_path():
     cache = os.environ.get("SDPB_TPU_CACHE",
                            os.path.expanduser("~/.cache/sdpb_tpu/xla"))
@@ -330,6 +397,7 @@ def _headline(state: dict, pending: bool = False) -> dict:
     fx = state.get("fixture", {})
     toy = state.get("toy", {})
     wide = state.get("wide", {})
+    ladder = state.get("ladder", {})
     bits = fx.get("precision_bits", "?")
     caveat_prec = (
         f"reference anchor is 39 s / 6 MPI ranks / 768 bits / gap 9e-31; "
@@ -352,6 +420,7 @@ def _headline(state: dict, pending: bool = False) -> dict:
                    "/ gap 1e-10 configuration of the same SDP")}
         rec.update({k: v for k, v in wide.items() if k not in rec})
         rec.update({k: v for k, v in fx.items() if k not in rec})
+        rec.update({k: v for k, v in ladder.items() if k not in rec})
         rec.update(_profile_fields())
         rec["platform"] = plat
         if "error" in state:
@@ -365,6 +434,7 @@ def _headline(state: dict, pending: bool = False) -> dict:
                "caveat": caveat_prec}
         rec.update({k: v for k, v in fx.items() if k not in rec})
         rec.update({k: v for k, v in wide.items() if k not in rec})
+        rec.update({k: v for k, v in ladder.items() if k not in rec})
         rec.update(_profile_fields())
     elif "it_per_s" in fx:
         anchor = BASELINE_ITS / BASELINE_S  # ~2.9 it/s, 6 ranks, 768 bits
@@ -520,6 +590,8 @@ def main():
             part_fixture(got, budget)
         elif part == "wide":
             part_wide(got, budget)
+        elif part == "ladder":
+            part_ladder(got, budget)
         else:
             part_toy_cpu(budget)
         return
@@ -584,11 +656,33 @@ def main():
                          lambda: _spawn(["--part", "wide", "--platform",
                                          platform],
                                         deadline - time.time() - 20)))
+
+        # BASELINE-ladder milestone (120-block / gap 1e-20): after the
+        # wide worker is done with the chip (or was dropped), if the
+        # fixture landed and the remaining budget covers the marker's
+        # measured estimate (no marker: only with a generous budget).
+        lad_marker = _read_marker("ladder_120_warm.json")
+
+        def _ladder_decide(st, now, exited, live):
+            fx = st.get("fixture", {})
+            if "tts_s" not in fx:
+                return "drop" if "fixture" in exited else "wait"
+            if "toy" in live or "wide" in live:
+                return "wait"
+            est = float(lad_marker.get("est_s", 400)) + 60
+            return "spawn" if (deadline - now) > est else "drop"
+
+        if os.path.exists(LADDER):
+            deferred.append(("ladder", _ladder_decide,
+                             lambda: _spawn(["--part", "ladder",
+                                             "--platform", platform],
+                                            deadline - time.time() - 20)))
     else:
         workers.append(("toy", _spawn(
             ["--part", "toy", "--platform", "cpu"],
             deadline - time.time() - 20)))
-    _multiplex(workers, deadline - 10, state, deferred=deferred)
+    _multiplex(workers, deadline - 10, state, deferred=deferred,
+               optional=("wide", "ladder"))
     _emit(_headline(state))
 
 
