@@ -164,22 +164,29 @@ def _matmul_wide_kernel(*refs, K: int, n_steps: int, chunk: int,
     of o = a @ b in WIDE (two-word) arithmetic into the output refs.
 
     The contraction is a GRID dimension (innermost, sequential), NOT an
-    in-kernel fori_loop: loop-carrying tile-shaped accumulators through
-    Mosaic's fori lowering corrupted low words on ~5% of elements at
+    in-kernel fori_loop over values: loop-carrying tile-shaped
+    accumulators through Mosaic's fori lowering corrupted low words at
     [8, 8] tiles (measured round 5), while the canonical revisit-the-
     output-block reduction is exact AND gets pipelined operand loads for
-    free.  `a` arrives TRANSPOSED as at[K,1,chunk,M] per word (see
-    _matmul_kernel).  Ref order: a word0 (limbs, exp), a word1, b word0,
-    b word1, then the same four pairs for the output."""
+    free.  The arithmetic runs in the COMPACT scratch-ref forms
+    (ops.mpwide_kernel KCtx ops): the list forms traced ~60k eqns per
+    fused multiply-accumulate, and with one embedded kernel per matmul
+    call site the 432-bit nmax6 program reached 85 MB of MLIR — the
+    remote compile helper was SIGKILLed.  Ref order: SMEM plan tables
+    (ints, fmul), a word0 (limbs, exp), a word1, b word0, b word1, the
+    same four output pairs, then the f32/int32 scratch buffers."""
     import jax.experimental.pallas as pl
 
     from ..ops import mpwide_kernel as wk
 
-    a_refs = refs[0:4]
-    b_refs = refs[4:8]
-    o_refs = refs[8:12]
+    plan_ref, fmul_ref = refs[0], refs[1]
+    a_refs = refs[2:6]
+    b_refs = refs[6:10]
+    o_refs = refs[10:14]
+    S, D = refs[14], refs[15]
     M = a_refs[0].shape[4]
     N = b_refs[0].shape[4]
+    ctx = wk.KCtx(S, D, plan_ref, fmul_ref, K)
 
     step = pl.program_id(1)
 
@@ -216,12 +223,12 @@ def _matmul_wide_kernel(*refs, K: int, n_steps: int, chunk: int,
                    for l, e in B)
         # cheap-carry accumulate; the two-word invariant is restored once
         # on the last step (wnormalize)
-        acc = wk.wfma_acc(acc, wa, wb, K)
+        acc = wk.wfma_acc_c(ctx, acc, wa, wb)
     write_acc(acc)
 
     @pl.when(step == n_steps - 1)
     def _final():
-        write_acc(wk.wnormalize(read_acc(), K))
+        write_acc(wk.wnormalize_c(ctx, read_acc()))
 
 
 def _wide_val_specs(pl, pltpu, K, n, m, contract: bool):
@@ -266,10 +273,11 @@ def _wide_args_t(a, swap: bool, n_steps: int, chunk: int):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _mp_matmul_pallas_wide(a, b, chunk: int = 2, interpret: bool = False):
+def _mp_matmul_pallas_wide(a, b, chunk: int = 1, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from ..ops import mpwide_kernel as wk
     from ..ops.mpwide import MPW
 
     K = a.Kg
@@ -289,7 +297,11 @@ def _mp_matmul_pallas_wide(a, b, chunk: int = 2, interpret: bool = False):
     n_steps = Kd // chunk
     kernel = functools.partial(_matmul_wide_kernel, K=K, n_steps=n_steps,
                                chunk=chunk, unroll=interpret)
-    in_specs = (_wide_val_specs(pl, pltpu, K, chunk, M, contract=True)
+    ints, fmul = wk.plan_tables(K)
+    smem_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs = (smem_specs
+                + _wide_val_specs(pl, pltpu, K, chunk, M, contract=True)
                 + _wide_val_specs(pl, pltpu, K, chunk, N, contract=True))
     out_specs = _wide_val_specs(pl, pltpu, K, M, N, contract=False)
     out_shapes = []
@@ -299,7 +311,10 @@ def _mp_matmul_pallas_wide(a, b, chunk: int = 2, interpret: bool = False):
     res = pl.pallas_call(
         kernel, grid=(B, n_steps), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
-    )(*_wide_args_t(a, swap=True, n_steps=n_steps, chunk=chunk),
+        scratch_shapes=[pltpu.VMEM((wk.rows_for(K), M, N), jnp.float32),
+                        pltpu.VMEM((K * K, M, N), jnp.int32)],
+    )(jnp.asarray(ints), jnp.asarray(fmul),
+      *_wide_args_t(a, swap=True, n_steps=n_steps, chunk=chunk),
       *_wide_args_t(b, swap=False, n_steps=n_steps, chunk=chunk))
     return MPW((MP(res[0], res[1]), MP(res[2], res[3])))
 
@@ -320,8 +335,8 @@ def _canon_wide_pair(a, b):
 
 def pallas_wide_matmul_viable(a, b) -> bool:
     """Wide (MPW) pair viability: two 216-bit words per operand, f32, TPU,
-    VMEM covering operands + accumulator + the transient sweep stacks of
-    mul_full (~2K^2 + K rows of [M, N])."""
+    VMEM covering operands + accumulator + the compact scratch buffers
+    (rows_for(K) f32 rows + K^2 int32 rows of PADDED (8, 128) tiles)."""
     if not (hasattr(a, "words") and hasattr(b, "words")):
         return False
     if a.G != 2 or b.G != 2:
@@ -330,12 +345,17 @@ def pallas_wide_matmul_viable(a, b) -> bool:
         return False
     if a.dtype != jnp.float32:
         return False
+    from ..ops import mpwide_kernel as wk
+
     K = a.Kg
     M, Kd = a.shape[-2], a.shape[-1]
     N = b.shape[-1]
-    words = 2 * (K + 1) * (M * Kd + Kd * N + 3 * M * N)
-    sweep = (4 * K * K + 2 * K) * M * N
-    if (words + sweep) * 4 >= _VMEM_LIMIT:
+    pm = -(-M // 8) * 8
+    pn = -(-N // 128) * 128
+    tile = pm * pn
+    scratch = (wk.rows_for(K) + K * K) * tile
+    io = 2 * (K + 1) * (2 * M + 2 * N + 3 * tile)
+    if (scratch + io) * 4 >= _VMEM_LIMIT:
         return False
     return True
 
