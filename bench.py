@@ -585,6 +585,13 @@ def main():
         # too so an orphan can't squat on the chip (clamped positive — a
         # zero/negative alarm would silently DISABLE the backstop)
         signal.alarm(max(60, int(budget) + 90))
+        if part == "wide":
+            # the 432-bit program's composite (non-kernel) wide ops must
+            # lower with the O(1)-graph scan renorms: the TPU-default
+            # unrolled sweeps put ~140 MB of elementwise MLIR into the
+            # program and the remote compile helper is SIGKILLed (round-5
+            # measurement).  K=6 (144-bit) configs are unaffected.
+            os.environ.setdefault("SDPB_TPU_SCAN_RENORM_MIN_K_SCALED", "9")
         got = _setup(platform)
         if part == "fixture":
             part_fixture(got, budget)

@@ -168,7 +168,8 @@ def test_toy_deep_gap_on_tpu_scaled_limbs():
 
 
 NMAX6_WIDE_SCRIPT = r"""
-import sys, time
+import sys, time, os
+os.environ.setdefault("SDPB_TPU_SCAN_RENORM_MIN_K_SCALED", "9")
 sys.path.insert(0, "/root/repo")
 import jax
 if jax.devices()[0].platform == "cpu":
